@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.transcripts.Transcripts
+import graft.windows.WindowFeatures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the per-module registries; each registry pairs
+  * a DataFrame program with (where SQL-expressible) a DuckDB oracle over the
+  * same parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full standard per-turn feature vector of the minimum slice
+    * (SURVEY §7.2) over transcripts derived from `events`.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    WindowFeatures.standardFeatures(
+      Transcripts.fromEvents(Tables.events(spark, "/root/testdata/sf0.001")))
+
+  private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (queries0.WindowQ.queries, queries0.WindowQ.oracles)
+    )
+
+  // Indirection so adding a registry is a one-line change.
+  private object queries0 {
+    val WindowQ = graft.queries.WindowQueries
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    registries.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.Tables
+import graft.transcripts.Transcripts
+import graft.windows.{AsOfJoin, WindowFeatures => WF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / point-in-time operator queries with DuckDB oracles.
+  *
+  * Output conventions shared with the oracle SQL (the driver hash-compares
+  * values after sorting columns by name):
+  *   - every int becomes BIGINT, every float DOUBLE rounded to 6 dp
+  *   - timestamps become epoch microseconds (unix_micros / epoch_us)
+  */
+object WindowQueries {
+
+  private def T(s: SparkSession, dir: String): DataFrame =
+    Transcripts.fromEvents(Tables.events(s, dir))
+
+  private val cte = "WITH " + Transcripts.sqlCte
+
+  /** Per-conversation window ordered by the stable (ts, turn_idx). */
+  private val wSql = "PARTITION BY conv_id ORDER BY ts, turn_idx"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transcripts" -> ((s, dir) => {
+      T(s, dir).select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("role"), col("text"), col("tool"),
+        unix_micros(col("ts")).as("ts_us"))
+    }),
+
+    "q_lag_lead" -> ((s, dir) => {
+      val w = WF.convWindow()
+      T(s, dir).select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        round(WF.gapSecs(), 6).as("gap_secs"),
+        lag(col("role"), 1).over(w).as("prev_role"),
+        lead(col("role"), 1).over(w).as("next_role"),
+        lag(length(col("text")), 2).over(w).cast("long").as("prev2_len"))
+    }),
+
+    "q_rolling" -> ((s, dir) => {
+      val len = length(col("text")).cast("double")
+      T(s, dir).select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        round(WF.rollingRows(avg, len, 5), 6).as("roll5_mean_len"),
+        WF.rollingRows(c => sum(c), length(col("text")).cast("long"), 3).as("roll3_sum_len"),
+        WF.rollingTime(_ => count(lit(1)), lit(1), 1800L).cast("long").as("cnt_30m"))
+    }),
+
+    "q_session" -> ((s, dir) => {
+      val sess = T(s, dir).withColumn("session_id", WF.sessionId(1800L))
+      sess.select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("session_id").cast("long").as("session_id"),
+        count(lit(1)).over(Window.partitionBy(col("conv_id"), col("session_id")))
+          .cast("long").as("session_turns"))
+    }),
+
+    "q_backfill" -> ((s, dir) => {
+      T(s, dir).select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        WF.backfill(col("tool")).as("last_tool"),
+        sum(when(col("tool").isNotNull, 1L).otherwise(0L))
+          .over(WF.atOrBefore()).as("tool_turns_so_far"))
+    }),
+
+    "q_groupby_then" -> ((s, dir) => {
+      val len = length(col("text")).cast("double")
+      T(s, dir).select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        round(WF.groupByThen(avg, len, col("conv_id")), 6).as("conv_mean_len"),
+        WF.groupByThen(max, length(col("text")).cast("long"), col("conv_id")).as("conv_max_len"),
+        WF.groupByThen(min, length(col("text")).cast("long"), col("conv_id")).as("conv_min_len"),
+        round(WF.groupByThen(stddev_samp, len, col("conv_id")), 6).as("conv_std_len"),
+        WF.groupByThen(c => count(c), len, col("conv_id")).cast("long").as("conv_cnt"),
+        round(WF.groupByThenAtOrBefore(avg, len), 6).as("run_mean_len"))
+    }),
+
+    "q_asof_join" -> ((s, dir) => asofResult(s, dir, skew = false)),
+    "q_asof_skew" -> ((s, dir) => asofResult(s, dir, skew = true))
+  )
+
+  private def asofResult(s: SparkSession, dir: String, skew: Boolean): DataFrame = {
+    val left = T(s, dir)
+    val right = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"), col("value").as("pval"))
+    val joined =
+      if (skew) AsOfJoin.asOfSkew(left, right, "conv_id", Seq("pval"), col("event_id"), 16)
+      else AsOfJoin.asOf(left, right, "conv_id", Seq("pval"), col("event_id"))
+    joined.select(
+      col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+      round(col("pval"), 6).as("last_purchase"))
+  }
+
+  private val asofSql: String =
+    s"""$cte,
+       |purch AS (
+       |  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id, ts, event_id AS seq, value AS pval
+       |  FROM events WHERE event_type = 'purchase'),
+       |u AS (
+       |  SELECT conv_id, ts, 0 AS side, seq, pval, CAST(NULL AS INT) AS turn_idx FROM purch
+       |  UNION ALL
+       |  SELECT conv_id, ts, 1 AS side, 0 AS seq, CAST(NULL AS DOUBLE) AS pval, turn_idx FROM transcripts),
+       |f AS (
+       |  SELECT conv_id, turn_idx, side,
+       |         LAST_VALUE(pval IGNORE NULLS) OVER (
+       |           PARTITION BY conv_id ORDER BY ts, side, seq
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+       |  FROM u)
+       |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, ROUND(lp, 6) AS last_purchase
+       |FROM f WHERE side = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_transcripts" ->
+      s"""$cte
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool,
+         |       epoch_us(ts) AS ts_us
+         |FROM transcripts""".stripMargin,
+
+    "q_lag_lead" ->
+      s"""$cte
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |       ROUND((epoch_us(ts) - LAG(epoch_us(ts)) OVER ($wSql)) / 1e6, 6) AS gap_secs,
+         |       LAG(role, 1) OVER ($wSql) AS prev_role,
+         |       LEAD(role, 1) OVER ($wSql) AS next_role,
+         |       CAST(LAG(LENGTH(text), 2) OVER ($wSql) AS BIGINT) AS prev2_len
+         |FROM transcripts""".stripMargin,
+
+    "q_rolling" ->
+      s"""$cte
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |       ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (
+         |         $wSql ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll5_mean_len,
+         |       SUM(CAST(LENGTH(text) AS BIGINT)) OVER (
+         |         $wSql ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_sum_len,
+         |       CAST(COUNT(*) OVER (
+         |         PARTITION BY conv_id ORDER BY epoch_us(ts)
+         |         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_30m
+         |FROM transcripts""".stripMargin,
+
+    "q_session" ->
+      s"""$cte,
+         |g AS (
+         |  SELECT conv_id, turn_idx, ts,
+         |         CASE WHEN LAG(ts) OVER ($wSql) IS NULL THEN 0
+         |              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ($wSql) > 1800000000 THEN 1
+         |              ELSE 0 END AS is_start
+         |  FROM transcripts),
+         |sess AS (
+         |  SELECT conv_id, turn_idx,
+         |         SUM(is_start) OVER ($wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM g)
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |       CAST(session_id AS BIGINT) AS session_id,
+         |       CAST(COUNT(*) OVER (PARTITION BY conv_id, session_id) AS BIGINT) AS session_turns
+         |FROM sess""".stripMargin,
+
+    "q_backfill" ->
+      s"""$cte
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |       LAST_VALUE(tool IGNORE NULLS) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tool,
+         |       SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_turns_so_far
+         |FROM transcripts""".stripMargin,
+
+    "q_groupby_then" ->
+      s"""$cte
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |       ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (PARTITION BY conv_id), 6) AS conv_mean_len,
+         |       MAX(CAST(LENGTH(text) AS BIGINT)) OVER (PARTITION BY conv_id) AS conv_max_len,
+         |       MIN(CAST(LENGTH(text) AS BIGINT)) OVER (PARTITION BY conv_id) AS conv_min_len,
+         |       ROUND(STDDEV_SAMP(CAST(LENGTH(text) AS DOUBLE)) OVER (PARTITION BY conv_id), 6) AS conv_std_len,
+         |       COUNT(*) OVER (PARTITION BY conv_id) AS conv_cnt,
+         |       ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_mean_len
+         |FROM transcripts""".stripMargin,
+
+    "q_asof_join" -> asofSql,
+    "q_asof_skew" -> asofSql
+  )
+}

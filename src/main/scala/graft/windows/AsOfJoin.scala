@@ -1,0 +1,127 @@
+package graft.windows
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each left row (entity, ts), attach the
+  * latest right row with the same entity and `right.ts <= left.ts`.
+  *
+  * Two physical shapes:
+  *
+  *  1. [[asOf]] — union + window. Tag both sides, union, one window over
+  *     `(entity)` ordered by `(ts, side, seq)` with right rows sorting before
+  *     left rows at equal ts (a value AT exactly ts is visible at-or-before),
+  *     `last(value, ignoreNulls)` over the unbounded-preceding frame, keep
+  *     left rows. ONE shuffle total; no join node at all. This is the
+  *     default plan — at 100 TB it is a single hash exchange on entity, and
+  *     AQE coalesces the post-shuffle partitions.
+  *
+  *  2. [[asOfSkew]] — range-bucketed variant for skewed entities. A hot
+  *     conv_id serializes shape (1) because an ordered window over one
+  *     entity is one task. Here event-time is cut into `numBuckets` ranges;
+  *     the window partitions by `(entity, bucket)` — splitting the hot key
+  *     across tasks — and each bucket is seeded with the carry-in value
+  *     (the last right value of any strictly earlier bucket), computed on the
+  *     tiny per-(entity,bucket) aggregate table. Equivalent results,
+  *     boundary-stitched.
+  *
+  * Left columns and `valueCols` must be disjoint name sets (callers alias).
+  *
+  * Reference: the reference has no joins at all (SURVEY §2.7); this operator
+  * comes from the north rule's point-in-time core. The group-aggregate
+  * join-back of `FastGroupByThenTransformation.py:27-40` is the degenerate
+  * unordered case (see [[WindowFeatures.groupByThen]]).
+  */
+object AsOfJoin {
+
+  /** As-of join, union+window plan.
+    *
+    * @param left      left rows; must contain `entity` and `ts` columns
+    * @param right     right rows; must contain `entity`, `ts`, and `valueCols`
+    * @param entity    join key column name (both sides)
+    * @param valueCols right columns to attach (null when no match yet)
+    * @param rightSeq  deterministic tie-break among right rows with equal
+    *                  (entity, ts): the row with the greatest rightSeq wins
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      valueCols: Seq[String],
+      rightSeq: Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(valueCols.map(col): _*)
+    val r = right.select(
+      col(entity), col("ts"),
+      lit(0).as("__side"), rightSeq.cast("long").as("__seq"), payload.as("__asof"))
+    val l = left.withColumn("__side", lit(1)).withColumn("__seq", lit(0L))
+
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col("ts"), col("__side"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__filled", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("__filled").getField(v).as(v)): _*)
+  }
+
+  /** Skew-resistant as-of join: event-time range buckets + carry-in stitch.
+    *
+    * @param numBuckets number of time buckets to cut `[minTs, maxTs]` into;
+    *                   the hot entity's window work fans out over up to this
+    *                   many tasks
+    */
+  def asOfSkew(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      valueCols: Seq[String],
+      rightSeq: Column,
+      numBuckets: Int = 32): DataFrame = {
+    // Bucket boundaries from the union time domain (one tiny agg job).
+    val Array(lo, hi) = left.select(unix_micros(col("ts")).as("t"))
+      .unionByName(right.select(unix_micros(col("ts")).as("t")))
+      .agg(min("t"), max("t")).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val width = math.max(1L, (hi - lo) / numBuckets + 1)
+    def bucketOf(ts: Column): Column = ((unix_micros(ts) - lo) / width).cast("int")
+
+    val leftCols = left.columns.toSeq
+    val payload = struct(valueCols.map(col): _*)
+    val rb = right.select(
+      col(entity), col("ts"), bucketOf(col("ts")).as("__bucket"),
+      lit(0).as("__side"), rightSeq.cast("long").as("__seq"), payload.as("__asof"))
+
+    // Last right value per (entity, bucket), then the carry-in for every
+    // dense bucket index = last value of any strictly earlier bucket.
+    // Rows = entities x buckets -> negligible; broadcast back.
+    val perBucket = rb.groupBy(col(entity), col("__bucket"))
+      .agg(max_by(col("__asof"), struct(col("ts"), col("__seq"))).as("__last"))
+    val dense = perBucket.select(col(entity)).distinct()
+      .select(col(entity), explode(sequence(lit(0), lit(numBuckets - 1))).as("__bucket"))
+    val wCarry = Window.partitionBy(col(entity)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = dense.join(perBucket, Seq(entity, "__bucket"), "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .select(col(entity), col("__bucket"), col("__carry"))
+
+    val lb = left
+      .withColumn("__bucket", bucketOf(col("ts")))
+      .withColumn("__side", lit(1))
+      .withColumn("__seq", lit(0L))
+
+    val w = Window.partitionBy(col(entity), col("__bucket"))
+      .orderBy(col("ts"), col("__side"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rb.unionByName(lb, allowMissingColumns = true)
+      .join(broadcast(carryIn), Seq(entity, "__bucket"), "left")
+      .withColumn("__filled",
+        coalesce(last(col("__asof"), ignoreNulls = true).over(w), col("__carry")))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("__filled").getField(v).as(v)): _*)
+  }
+}
