@@ -22,13 +22,9 @@ object SparkEntry {
 
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (queries0.WindowQ.queries, queries0.WindowQ.oracles)
+      (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracles),
+      (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracles)
     )
-
-  // Indirection so adding a registry is a one-line change.
-  private object queries0 {
-    val WindowQ = graft.queries.WindowQueries
-  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

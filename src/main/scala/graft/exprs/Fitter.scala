@@ -1,0 +1,94 @@
+package graft.exprs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Computes the fitted statistics every fit-requiring node of a candidate
+  * set needs, in as few aggregation jobs as possible.
+  *
+  * The reference fits each candidate pipeline separately per fold
+  * (`run_evaluation.py:276-309`); Spark-shaped, all fits of a layer collapse
+  * into ONE wide `agg` per fit-nesting depth (fit depth > 1 only when a
+  * fitted op is nested inside another fitted op, e.g. zscore(scale(x)) —
+  * bounded by c_max, in practice 1-2 passes).
+  *
+  * The fit scope (`fitDf`) is the caller's choice: whole table (reference
+  * train-split semantics, `MinMaxScalingTransformation.py:21-26`) or a
+  * fold-filtered / at-or-before subset for leakage-free variants.
+  */
+object Fitter {
+
+  def fit(fitDf: DataFrame, exprs: Seq[FeatureExpr],
+      raw: String => Column = col): FitStats = {
+    // All distinct fit-requiring Unary nodes across the canon'd forest.
+    def fitNodes(e: FeatureExpr): Seq[Unary] = {
+      val self = e match {
+        case u @ Unary(op, _) if op.needsFit => Seq(u)
+        case _ => Seq.empty
+      }
+      val kids = e match {
+        case Unary(_, c)           => fitNodes(c)
+        case BinaryE(_, l, r)      => fitNodes(l) ++ fitNodes(r)
+        case GroupByThenE(_, v, k) => fitNodes(v) ++ fitNodes(k)
+        case ConcatE(cs)           => cs.flatMap(fitNodes)
+        case _                     => Seq.empty
+      }
+      self ++ kids
+    }
+    var pending: Map[String, Unary] =
+      exprs.map(Canon.canon).flatMap(fitNodes).map(u => Canon.key(u) -> u).toMap
+    var stats = FitStats.empty
+
+    var guard = 0
+    while (pending.nonEmpty && guard < 8) {
+      guard += 1
+      // Ready = nodes whose own descendants' fit-nodes are all fitted.
+      val ready = pending.filter { case (_, u) =>
+        fitNodes(u.child).forall(d => stats.get(Canon.key(d)).isDefined)
+      }
+      require(ready.nonEmpty, s"fit cycle? pending=${pending.keys}")
+      val aggsAndDecode: Seq[(String, Seq[Column], org.apache.spark.sql.Row => IndexedSeq[Double])] =
+        ready.toSeq.map { case (key, u) =>
+          val c = Lower.toColumn(u.child, stats, raw).cast("double")
+          val p = s"s${key.hashCode.toHexString}"
+          def dbl(row: org.apache.spark.sql.Row, f: String): Double = {
+            val i = row.fieldIndex(f)
+            if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+          }
+          u.op match {
+            case UnaryOp.MinMax | UnaryOp.DiscretizeEW(_) =>
+              (key, Seq(min(c).as(s"${p}_a"), max(c).as(s"${p}_b")),
+                (r: org.apache.spark.sql.Row) => IndexedSeq(dbl(r, s"${p}_a"), dbl(r, s"${p}_b")))
+            case UnaryOp.StdScale | UnaryOp.ZScore =>
+              (key, Seq(avg(c).as(s"${p}_a"), stddev_pop(c).as(s"${p}_b")),
+                (r: org.apache.spark.sql.Row) => IndexedSeq(dbl(r, s"${p}_a"), dbl(r, s"${p}_b")))
+            case UnaryOp.ImputeMean =>
+              (key, Seq(avg(c).as(s"${p}_a")),
+                (r: org.apache.spark.sql.Row) => IndexedSeq(dbl(r, s"${p}_a")))
+            case UnaryOp.ImputeMedian =>
+              (key, Seq(median(c).as(s"${p}_a")),
+                (r: org.apache.spark.sql.Row) => IndexedSeq(dbl(r, s"${p}_a")))
+            case UnaryOp.ImputeMode =>
+              (key, Seq(mode(c).as(s"${p}_a")),
+                (r: org.apache.spark.sql.Row) => IndexedSeq(dbl(r, s"${p}_a")))
+            case UnaryOp.DiscretizeQ(b) =>
+              val qs = (1 until b).map(_.toDouble / b)
+              (key, Seq(percentile(c, typedLit(qs)).as(s"${p}_q")),
+                (r: org.apache.spark.sql.Row) => {
+                  val i = r.fieldIndex(s"${p}_q")
+                  if (r.isNullAt(i)) IndexedSeq.fill(b - 1)(Double.NaN)
+                  else r.getSeq[Double](i).toIndexedSeq
+                })
+            case other =>
+              throw new IllegalStateException(s"unexpected fit op $other")
+          }
+        }
+      val row = fitDf.agg(
+        aggsAndDecode.flatMap(_._2).head, aggsAndDecode.flatMap(_._2).tail: _*).head()
+      stats = stats ++ FitStats(aggsAndDecode.map { case (k, _, dec) => k -> dec(row) }.toMap)
+      pending = pending -- ready.keys
+    }
+    require(pending.isEmpty, s"unfitted nodes after ${guard} passes: ${pending.keys}")
+    stats
+  }
+}
