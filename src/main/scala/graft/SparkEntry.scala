@@ -17,13 +17,15 @@ object SparkEntry {
     * (SURVEY §7.2) over transcripts derived from `events`.
     */
   def entry(spark: SparkSession): DataFrame =
-    WindowFeatures.standardFeatures(
-      Transcripts.fromEvents(Tables.events(spark, "/root/testdata/sf0.001")))
+    graft.search.FeatureConstructor.transcriptsPipeline(
+      Transcripts.fromEvents(Tables.events(spark, "/root/testdata/sf0.001")),
+      graft.search.CdfcConfig(cMax = 2, maxLayerWidth = 48))
 
   private def registries: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracles),
-      (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracles)
+      (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracles),
+      (graft.queries.SearchQueries.queries, graft.queries.SearchQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

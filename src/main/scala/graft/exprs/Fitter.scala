@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object Fitter {
 
   def fit(fitDf: DataFrame, exprs: Seq[FeatureExpr],
-      raw: String => Column = col): FitStats = {
+      raw: String => Column = col, known: FitStats = FitStats.empty): FitStats = {
     // All distinct fit-requiring Unary nodes across the canon'd forest.
     def fitNodes(e: FeatureExpr): Seq[Unary] = {
       val self = e match {
@@ -37,7 +37,8 @@ object Fitter {
     }
     var pending: Map[String, Unary] =
       exprs.map(Canon.canon).flatMap(fitNodes).map(u => Canon.key(u) -> u).toMap
-    var stats = FitStats.empty
+        .filterNot { case (k, _) => known.get(k).isDefined }
+    var stats = known
 
     var guard = 0
     while (pending.nonEmpty && guard < 8) {

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import graft.transcripts.Transcripts
+import graft.profile.Profiler
+import graft.search._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDFC search queries. The search itself is not SQL-expressible (rows-only
+  * gate); its gain oracle IS, so q_mi pins the scorer against DuckDB.
+  */
+object SearchQueries {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    FeatureConstructor.baseFeatures(
+      Transcripts.fromEvents(Tables.events(s, dir)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Normalized binned MI of two fixed base features vs the label — the
+    // scorer's exact arithmetic, one row out.
+    "q_mi" -> ((s, dir) => {
+      import s.implicits._
+      val b = base(s, dir)
+      val feats = Seq("text_len" -> col("text_len"), "turn_pos" -> col("turn_pos"))
+      val prof = Profiler.profile(b, feats)
+      val lohi = prof.map { case (n, p) => n -> (p.min, p.max) }
+      val st = MIScorer.scoreBatch(b, feats, col("label_next_tool"), lohi)
+      Seq((math.rint(st("text_len").mi * 1e6) / 1e6,
+        math.rint(st("turn_pos").mi * 1e6) / 1e6)).toDF("mi_text_len", "mi_turn_pos")
+    }),
+
+    // Full CDFC search + transform on the transcripts pipeline (rows-only).
+    "q_cdfc" -> ((s, dir) => {
+      val out = FeatureConstructor.transcriptsPipeline(
+        Transcripts.fromEvents(Tables.events(s, dir)),
+        CdfcConfig(cMax = 3, maxLayerWidth = 96, batchSize = 48))
+      val featCols = out.columns.filter(_.startsWith("feat_")).sorted.toSeq
+      out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
+        featCols.map(c => round(col(c), 6).as(c))): _*)
+    })
+  )
+
+  private def miSql(feat: String): String =
+    s"""${feat}_s AS (SELECT MIN($feat) AS lo, MAX($feat) AS hi FROM b),
+       |${feat}_binned AS (
+       |  SELECT LEAST(GREATEST(CAST(CEIL(($feat - lo) / ((hi - lo) / 10.0)) AS INT) - 1, 0), 9) AS bin, y
+       |  FROM b, ${feat}_s),
+       |${feat}_cnt AS (SELECT bin, y, CAST(COUNT(*) AS DOUBLE) AS n FROM ${feat}_binned GROUP BY bin, y),
+       |${feat}_tot AS (SELECT SUM(n) AS t FROM ${feat}_cnt),
+       |${feat}_py AS (SELECT y, SUM(n) AS ny FROM ${feat}_cnt GROUP BY y),
+       |${feat}_pb AS (SELECT bin, SUM(n) AS nb FROM ${feat}_cnt GROUP BY bin),
+       |${feat}_hy AS (SELECT -SUM((ny / t) * LN(ny / t)) AS hy FROM ${feat}_py, ${feat}_tot),
+       |${feat}_mi AS (
+       |  SELECT SUM((n / t) * LN((n / t) / ((nb / t) * (ny / t)))) / MAX(hy) AS mi
+       |  FROM ${feat}_cnt JOIN ${feat}_py USING (y) JOIN ${feat}_pb USING (bin), ${feat}_tot, ${feat}_hy)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_mi" ->
+      s"""WITH ${Transcripts.sqlCte},
+         |w AS (
+         |  SELECT LENGTH(text) AS text_len, CAST(turn_idx AS DOUBLE) AS turn_pos,
+         |         CASE WHEN LEAD(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) = 'tool'
+         |              THEN 1 ELSE 0 END AS y,
+         |         LEAD(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS nr
+         |  FROM transcripts),
+         |b AS (SELECT CAST(text_len AS DOUBLE) AS text_len, turn_pos, y FROM w WHERE nr IS NOT NULL),
+         |${miSql("text_len")},
+         |${miSql("turn_pos")}
+         |SELECT ROUND(text_len_mi.mi, 6) AS mi_text_len, ROUND(turn_pos_mi.mi, 6) AS mi_turn_pos
+         |FROM text_len_mi, turn_pos_mi""".stripMargin
+  )
+}

@@ -1,0 +1,235 @@
+package graft.search
+
+import graft.exprs._
+import graft.profile.{ColumnProfile, Profiler}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Complexity-driven feature construction: the reference's layered
+  * breadth-first lattice search (`feature_selection/
+  * ComplexityDrivenFeatureConstruction.py:381-685`) re-expressed Spark-first.
+  *
+  * Layer c enumerates all candidates of exactly c transformation nodes:
+  * unary ops applied to layer c-1, binary ops over every 2-partition
+  * [p, c-1-p] (`:163-170`), GroupByThen over (value, key) pairs. Each
+  * candidate is canonicalized ([[Canon]]) and deduped against the seen-set
+  * (`:142-160`), pruned by property applicability ([[Applicability]]),
+  * then the surviving layer is scored in O(few) aggregation jobs
+  * ([[MIScorer]]): runtime constant prune + value-fingerprint dedup
+  * (`run_evaluation.py:287-298`) + gain scoring. The epsilon gate passes a
+  * candidate iff it is raw/one-hot or its gain per added complexity exceeds
+  * epsilon (`run_evaluation.py:370-371`).
+  *
+  * Deviation from the reference, by design: the gain oracle is normalized
+  * binned MI (the reference's own prefilter statistic) rather than
+  * cross-validated LR AUC — exact LR scoring of the few survivors can be
+  * layered on top without touching the search.
+  *
+  * Scale shape: per layer, TWO aggregation-only jobs (profile + score) over
+  * one wide select of all candidates; no data is ever collected; the only
+  * shuffles are the windows of GroupByThen candidates (all candidates with
+  * the same key share one exchange).
+  */
+final case class CdfcConfig(
+    cMax: Int = 3,
+    epsilon: Double = 0.0,
+    bins: Int = 10,
+    batchSize: Int = 48,
+    maxLayerWidth: Int = 512,
+    unaryOps: Seq[UnaryOp] = Seq(
+      UnaryOp.Minus, UnaryOp.Inv, UnaryOp.Log, UnaryOp.MinMax,
+      UnaryOp.ImputeMean, UnaryOp.DiscretizeEW(10)),
+    binaryOps: Seq[BinOp] = Seq(BinOp.Add, BinOp.Mul),
+    groupByAggs: Seq[AggKind] = Seq(AggKind.Mean, AggKind.Max, AggKind.Min, AggKind.Std),
+    stopAfterNonImproving: Int = 2)
+
+final case class Scored(
+    expr: FeatureExpr,
+    key: String,
+    complexity: Int,
+    score: Double,
+    passed: Boolean,
+    inherited: Boolean)
+
+final case class CdfcResult(
+    best: Scored,
+    survivors: Seq[Scored],
+    layers: Seq[(Int, Int, Int)], // (complexity, enumerated, survived)
+    fit: FitStats)
+
+final class Cdfc(
+    df: DataFrame,
+    rawNumeric: Seq[String],
+    rawCategorical: Seq[String],
+    groupKeys: Seq[String],
+    label: Column,
+    cfg: CdfcConfig = CdfcConfig()) {
+
+  def run(): CdfcResult = {
+    val seen = collection.mutable.HashSet[String]()
+    val fingerprints = collection.mutable.HashSet[Long]()
+    val scores = collection.mutable.HashMap[String, Double]()
+    val profiles = collection.mutable.HashMap[String, ColumnProfile]()
+    var fit = FitStats.empty
+    val survivors = collection.mutable.ArrayBuffer[Scored]()
+    val layerLog = collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    // per-complexity candidate pool for enumeration (passed candidates only,
+    // reference buckets `cost_2_*`, `ComplexityDrivenFeatureConstruction.py:572-589`)
+    val byComplexity = collection.mutable.HashMap[Int, Vector[FeatureExpr]]().withDefaultValue(Vector.empty)
+
+    // ---- layer 1: raw numeric features -------------------------------
+    val rawProfiles = Profiler.profile(df,
+      rawNumeric.map(n => n -> col(n)), rawCategorical.map(n => n -> col(n)))
+    profiles ++= rawProfiles
+    val layer1 = rawNumeric.map(RawCol(_))
+
+    // one-hots: generated once from raw categoricals (OneHotGenerator),
+    // complexity 2, always pass the gate (`run_evaluation.py:370`)
+    val oneHots: Seq[FeatureExpr] = rawCategorical.flatMap { n =>
+      Profiler.distinctValues(df, col(n), limit = 32)
+        .map(v => Unary(UnaryOp.EqualsStr(v), RawCol(n)))
+    }
+
+    // ---- helpers -----------------------------------------------------
+    def enumerateLayer(cost: Int, oneHots: Seq[FeatureExpr]): Seq[FeatureExpr] = {
+      val unary = byComplexity(cost - 1).flatMap(p =>
+        cfg.unaryOps.map(op => Unary(op, p)))
+      val oh = if (cost == 2) oneHots else Seq.empty
+      val binary = for {
+        p <- 1 to (cost - 1) / 2
+        l <- byComplexity(p)
+        r <- byComplexity(cost - 1 - p)
+        op <- cfg.binaryOps
+        cand <- if (p == cost - 1 - p && l == r && !op.commutative) Nil
+                else Seq(BinaryE(op, l, r))
+      } yield cand
+      val gbt = for {
+        p <- 1 until cost - 1
+        v <- byComplexity(p)
+        k <- groupKeys
+        agg <- cfg.groupByAggs
+        if v.complexity + 1 + 1 == cost
+      } yield GroupByThenE(agg, v, RawCol(k))
+      unary ++ oh ++ binary ++ gbt
+    }
+
+    def applicable(e: FeatureExpr): Boolean = e match {
+      case Unary(op: UnaryOp.Impute, ch) => ch.isInstanceOf[RawCol] &&
+        profileOf(ch).exists(Applicability.isApplicable(op, _))
+      case Unary(op, ch) => profileOf(ch).exists(Applicability.isApplicable(op, _))
+      case BinaryE(op, l, r) =>
+        (for (lp <- profileOf(l); rp <- profileOf(r))
+          yield Applicability.isApplicable(op, lp, rp)).getOrElse(false)
+      case GroupByThenE(_, v, k) =>
+        (for (vp <- profileOf(v); kp <- profileOf(k))
+          yield Applicability.isApplicableGroupBy(vp, kp)).getOrElse(false)
+      case _ => true
+    }
+
+    def profileOf(e: FeatureExpr): Option[ColumnProfile] = {
+      val k = Canon.key(e)
+      profiles.get(k).orElse {
+        val derived = e match {
+          case Unary(op, ch) => profileOf(ch).map(Applicability.derive(op, _))
+          case BinaryE(op, l, r) =>
+            for (lp <- profileOf(l); rp <- profileOf(r)) yield Applicability.derive(op, lp, rp)
+          case GroupByThenE(a, v, kk) =>
+            for (vp <- profileOf(v); kp <- profileOf(kk)) yield Applicability.deriveGroupBy(a, vp, kp)
+          case _ => None
+        }
+        derived.foreach(p => profiles(k) = p)
+        derived
+      }
+    }
+
+    def maxParentScore(e: FeatureExpr): Double = {
+      val parents = e match {
+        case Unary(_, ch)          => Seq(ch)
+        case BinaryE(_, l, r)      => Seq(l, r)
+        case GroupByThenE(_, v, k) => Seq(v, k)
+        case _                     => Seq.empty
+      }
+      val ss = parents.flatMap(p => scores.get(Canon.key(p)))
+      if (ss.isEmpty) 0.0 else ss.max
+    }
+
+    def evaluate(candidates: Seq[FeatureExpr], cost: Int): Unit = {
+      if (candidates.isEmpty) return
+      // affine-invariance skip rule (`run_evaluation.py:313-330`): -x, a+b,
+      // a-b inherit the best parent score without evaluation
+      val (inherit, toEval) = candidates.partition {
+        case Unary(UnaryOp.Minus, _)                  => true
+        case BinaryE(BinOp.Add | BinOp.Sub, _, _)     => true
+        case _                                        => false
+      }
+      fit = Fitter.fit(df, toEval ++ inherit, known = fit)
+
+      toEval.grouped(cfg.batchSize).foreach { batch =>
+        val named = batch.map(e => Lower.alias(e) -> e)
+        // bin bounds: one profile agg per batch (runtime, not analytic —
+        // analytic bounds are conservative and would skew the MI bins)
+        val cols = named.map { case (n, e) => n -> Lower.toColumn(e, fit) }
+        val prof = Profiler.profile(df, cols.map { case (n, cc) => n -> cc })
+        val lohi = prof.map { case (n, p) => n -> (p.min, p.max) }
+        val stats = MIScorer.scoreBatch(df, cols.map { case (n, cc) => n -> cc },
+          label, lohi, cfg.bins)
+        named.foreach { case (n, e) =>
+          val st = stats(n)
+          val k = Canon.key(e)
+          seen += k
+          profiles(k) = ColumnProfile(k, isNumeric = true, count = prof(n).count,
+            missing = st.missing, min = st.min, max = st.max,
+            hasZero = st.min <= 0 && st.max >= 0, distinct = st.distinct)
+          val isConstant = st.distinct <= 1
+          val isDup = fingerprints.contains(st.fingerprint)
+          if (!isConstant && !isDup) {
+            fingerprints += st.fingerprint
+            scores(k) = st.mi
+            val isRawOrOneHot = e.isInstanceOf[RawCol] ||
+              (e match { case Unary(UnaryOp.EqualsStr(_), _) => true; case _ => false })
+            val gain = st.mi - maxParentScore(e)
+            val passed = isRawOrOneHot || gain > cfg.epsilon
+            if (passed) {
+              survivors += Scored(e, k, cost, st.mi, passed = true, inherited = false)
+              byComplexity(cost) = byComplexity(cost) :+ e
+            }
+          }
+        }
+      }
+
+      inherit.foreach { e =>
+        val k = Canon.key(e)
+        seen += k
+        val s = maxParentScore(e)
+        scores(k) = s
+        // inherited candidates stay in the pool but cannot pass the epsilon
+        // gate themselves (gain 0); reference keeps them for composition
+        byComplexity(cost) = byComplexity(cost) :+ e
+        survivors += Scored(e, k, cost, s, passed = false, inherited = true)
+      }
+    }
+
+    // ---- layer loop --------------------------------------------------
+    evaluate(layer1, 1)
+    var best = survivors.maxByOption(_.score)
+    var nonImproving = 0
+    var layer = 2
+    while (layer <= cfg.cMax && nonImproving < cfg.stopAfterNonImproving) {
+      val enumerated = enumerateLayer(layer, oneHots)
+      val fresh = enumerated.filter { e =>
+        val k = Canon.key(e)
+        !Canon.isConstant(e) && !seen.contains(k) && applicable(e)
+      }.distinctBy(Canon.key).take(cfg.maxLayerWidth)
+      val survivedBefore = survivors.size
+      evaluate(fresh, layer)
+      layerLog += ((layer, enumerated.size, survivors.size - survivedBefore))
+      val newBest = survivors.maxByOption(_.score)
+      if (newBest.map(_.score) == best.map(_.score)) nonImproving += 1
+      else { nonImproving = 0; best = newBest }
+      layer += 1
+    }
+
+    val b = best.getOrElse(throw new IllegalStateException("no candidate survived"))
+    CdfcResult(b, survivors.toSeq, layerLog.toSeq, fit)
+  }
+}

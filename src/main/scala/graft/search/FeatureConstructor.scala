@@ -1,0 +1,85 @@
+package graft.search
+
+import graft.exprs._
+import graft.windows.{WindowFeatures => WF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public estimator facade — the analog of the reference's sklearn
+  * `ConstructionTransformer` (`interactiveAutoML/feature_selection/
+  * ConstructionTransformation.py:15-65`): `fit` runs the CDFC search and
+  * remembers the surviving representations + their fitted stats (+ a final
+  * per-feature MinMax of the output block, as the reference unions and
+  * scales all representations); `transform` replays them on any DataFrame
+  * as one wide select.
+  */
+object FeatureConstructor {
+
+  final case class FeatureModel(
+      features: Seq[Scored],
+      outputExprs: Seq[(String, FeatureExpr)],
+      fit: FitStats,
+      result: CdfcResult) {
+
+    /** Original columns + one column per constructed feature. */
+    def transform(df: DataFrame): DataFrame = {
+      val withFeats = LayerBuilder.select(df, df.columns.toSeq, outputExprs, fit)
+      withFeats
+    }
+  }
+
+  def fit(
+      df: DataFrame,
+      rawNumeric: Seq[String],
+      rawCategorical: Seq[String],
+      groupKeys: Seq[String],
+      label: Column,
+      cfg: CdfcConfig = CdfcConfig()): FeatureModel = {
+    val res = new Cdfc(df, rawNumeric, rawCategorical, groupKeys, label, cfg).run()
+    val passed = res.survivors.filter(_.passed)
+    // Final block scaling (reference: union + global MinMaxScaler). A feature
+    // already in [0,1] keeps its identity (the reference skip guard).
+    val scaled: Seq[FeatureExpr] = passed.map { s =>
+      val needsScale = !(s.expr match {
+        case Unary(UnaryOp.EqualsStr(_), _) => true // one-hot already 0/1
+        case Unary(UnaryOp.MinMax, _)       => true
+        case _                              => false
+      })
+      if (needsScale) Canon.canon(Unary(UnaryOp.MinMax, s.expr)) else s.expr
+    }
+    val fit2 = Fitter.fit(df, scaled, known = res.fit)
+    val named = scaled.zip(passed).map { case (e, s) => s"feat_${Lower.alias(s.expr)}" -> e }
+    FeatureModel(passed, named, fit2, res)
+  }
+
+  /** The flagship transcripts pipeline: derive the per-turn numeric base
+    * features (window core), then search for constructed features predicting
+    * whether the NEXT turn is a tool call.
+    */
+  def transcriptsPipeline(transcripts: DataFrame, cfg: CdfcConfig = CdfcConfig()): DataFrame = {
+    val base = baseFeatures(transcripts)
+    val model = fit(base,
+      rawNumeric = Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
+      rawCategorical = Seq("role", "prev_role"),
+      groupKeys = Seq("conv_id"),
+      label = col("label_next_tool"),
+      cfg)
+    model.transform(base)
+  }
+
+  /** Per-turn numeric base columns derived from the raw transcript — the
+    * analog of the legacy text/parser mapper family (SURVEY §2.6) feeding
+    * the search. One shuffle (everything shares the conv_id window).
+    */
+  def baseFeatures(transcripts: DataFrame): DataFrame =
+    transcripts
+      .withColumn("text_len", length(col("text")).cast("double"))
+      .withColumn("gap_secs", WF.gapSecs())
+      .withColumn("prev_role", WF.lagCol(col("role"), 1))
+      .withColumn("roll5_mean_len", WF.rollingRows(avg, length(col("text")).cast("double"), 5))
+      .withColumn("run_mean_len", WF.groupByThenAtOrBefore(avg, length(col("text")).cast("double")))
+      .withColumn("turn_pos", col("turn_idx").cast("double"))
+      .withColumn("label_next_tool",
+        (WF.lagCol(col("role"), -1) === "tool").cast("int"))
+      .filter(col("label_next_tool").isNotNull)
+}

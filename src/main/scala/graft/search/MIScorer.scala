@@ -1,0 +1,97 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Candidate gain oracle: mutual information between the equi-width-binned
+  * feature and the (binary) label, computed for a whole batch of candidates
+  * in ONE aggregation job — counts are map-side partial aggregates, so no
+  * data row ever shuffles (the job moves F x (bins+1) x 2 counters per
+  * partition, independent of table size).
+  *
+  * This is the cheap closed-form stand-in for the reference's per-candidate
+  * CV grid-search LR scoring (`run_evaluation.py:142-243`) used to prune;
+  * the same shape the reference itself uses for its MI prefilter
+  * (`fairexp.py:117-126`, `mutual_info_classif`). Scores are in nats,
+  * normalized by H(y) so the gate threshold is scale-free.
+  *
+  * The same job also returns each candidate's value fingerprint
+  * (order-insensitive sum of xxhash64 of the rounded value) and approx
+  * distinct count — feeding the runtime constant prune
+  * (`run_evaluation.py:287-290`) and value-equality dedup (`:292-298`)
+  * without extra passes.
+  */
+object MIScorer {
+
+  final case class FeatureStats(
+      mi: Double,
+      fingerprint: Long,
+      distinct: Long,
+      min: Double,
+      max: Double,
+      missing: Long)
+
+  /** @param label boolean/0-1 column (rows with null label are excluded)
+    * @param lohi   per-feature (min,max) for binning; names must match feats
+    */
+  def scoreBatch(
+      df: DataFrame,
+      feats: Seq[(String, Column)],
+      label: Column,
+      lohi: Map[String, (Double, Double)],
+      bins: Int = 10): Map[String, FeatureStats] = {
+    if (feats.isEmpty) return Map.empty
+    val y = label.cast("int")
+    val base = df.filter(y.isNotNull).select(
+      (feats.map { case (n, c) => c.cast("double").as(n) } :+ y.as("__y")): _*)
+
+    val aggs: Seq[Column] = feats.flatMap { case (n, _) =>
+      val c = col(n)
+      val (lo, hi) = lohi(n)
+      val w = if (hi > lo) (hi - lo) / bins else 1.0
+      // right-closed equi-width bin in [0, bins-1]; null/NaN -> bin `bins`
+      val bin = when(c.isNull || isnan(c), lit(bins)).otherwise(
+        least(greatest(ceil((c - lit(lo)) / lit(w)).cast("int") - 1, lit(0)), lit(bins - 1)))
+      (0 to bins).flatMap { b =>
+        Seq(
+          count(when(bin === b && col("__y") === 0, 1)).as(s"${n}__b${b}_0"),
+          count(when(bin === b && col("__y") === 1, 1)).as(s"${n}__b${b}_1"))
+      } ++ Seq(
+        // order-insensitive value fingerprint; bit_xor cannot overflow
+        // (ANSI mode makes sum(long) throw at scale)
+        call_function("bit_xor", xxhash64(round(c, 6))).as(s"${n}__fp"),
+        approx_count_distinct(c).as(s"${n}__dist"),
+        min(c).as(s"${n}__min"),
+        max(c).as(s"${n}__max"),
+        count(when(c.isNull || isnan(c), 1)).as(s"${n}__miss"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+
+    feats.map { case (n, _) =>
+      val counts = (0 to bins).map { b =>
+        (row.getLong(row.fieldIndex(s"${n}__b${b}_0")),
+          row.getLong(row.fieldIndex(s"${n}__b${b}_1")))
+      }
+      val total = counts.map(t => t._1 + t._2).sum.toDouble
+      val py1 = counts.map(_._2).sum / total
+      val py0 = 1.0 - py1
+      var mi = 0.0
+      counts.foreach { case (c0, c1) =>
+        val pb = (c0 + c1) / total
+        if (c0 > 0) { val p = c0 / total; mi += p * math.log(p / (pb * py0)) }
+        if (c1 > 0) { val p = c1 / total; mi += p * math.log(p / (pb * py1)) }
+      }
+      val hy = -Seq(py0, py1).filter(_ > 0).map(p => p * math.log(p)).sum
+      val fpIdx = row.fieldIndex(s"${n}__fp")
+      val mnIdx = row.fieldIndex(s"${n}__min")
+      val mxIdx = row.fieldIndex(s"${n}__max")
+      n -> FeatureStats(
+        mi = if (hy > 0) mi / hy else 0.0,
+        fingerprint = if (row.isNullAt(fpIdx)) 0L else row.getLong(fpIdx),
+        distinct = row.getLong(row.fieldIndex(s"${n}__dist")),
+        min = if (row.isNullAt(mnIdx)) Double.NaN else row.getDouble(mnIdx),
+        max = if (row.isNullAt(mxIdx)) Double.NaN else row.getDouble(mxIdx),
+        missing = row.getLong(row.fieldIndex(s"${n}__miss")))
+    }.toMap
+  }
+}

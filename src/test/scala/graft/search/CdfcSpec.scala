@@ -1,0 +1,83 @@
+package graft.search
+
+import graft.{SparkSpec, Tables}
+import graft.exprs._
+import graft.transcripts.Transcripts
+import org.apache.spark.sql.functions._
+
+class CdfcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MI scorer: perfectly informative feature ~1, independent feature ~0") {
+    val n = 2000
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") % 2).cast("int").as("y"),
+      (col("id") % 2).cast("double").as("perfect"),
+      (pmod(xxhash64(col("id")), lit(1000)).cast("double") / 1000).as("noise"))
+    val feats = Seq("perfect" -> col("perfect"), "noise" -> col("noise"))
+    val lohi = Map("perfect" -> (0.0, 1.0), "noise" -> (0.0, 1.0))
+    val st = MIScorer.scoreBatch(df, feats, col("y"), lohi)
+    assert(st("perfect").mi > 0.99)
+    assert(st("noise").mi < 0.05)
+    assert(st("perfect").distinct == 2)
+  }
+
+  test("MI scorer fingerprint: identical value distributions collide, different do not") {
+    val df = spark.range(1000).select(
+      col("id"), (col("id") % 2).cast("int").as("y"),
+      col("id").cast("double").as("a"),
+      col("id").cast("double").as("a2"),
+      (col("id") + 1).cast("double").as("b"))
+    val lohi = Map("a" -> (0.0, 999.0), "a2" -> (0.0, 999.0), "b" -> (1.0, 1000.0))
+    val st = MIScorer.scoreBatch(df,
+      Seq("a" -> col("a"), "a2" -> col("a2"), "b" -> col("b")), col("y"), lohi)
+    assert(st("a").fingerprint == st("a2").fingerprint)
+    assert(st("a").fingerprint != st("b").fingerprint)
+  }
+
+  test("CDFC search on a planted signal: finds a combination beating raw features") {
+    // y depends on x1*x2 (threshold); x1, x2 alone are weakly informative
+    val df = spark.range(4000).select(
+      (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+      (pmod(xxhash64(col("id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"),
+      lit("g").as("dummy_cat"))
+      .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+    val res = new Cdfc(df, Seq("x1", "x2"), Seq.empty, Seq.empty, col("y"),
+      CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul, BinOp.Add),
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax),
+        groupByAggs = Seq.empty)).run()
+    val rawBest = res.survivors.filter(_.complexity == 1).map(_.score).max
+    assert(res.best.score > rawBest + 0.1,
+      s"best=${res.best.key} ${res.best.score} vs raw $rawBest")
+    assert(res.best.key.contains("mul"))
+  }
+
+  test("search dedups: -(-x) and duplicate-valued candidates never evaluated twice") {
+    val df = spark.range(500).select(
+      col("id").cast("double").as("x1"),
+      (col("id") % 2).cast("int").as("y"))
+    val res = new Cdfc(df, Seq("x1"), Seq.empty, Seq.empty, col("y"),
+      CdfcConfig(cMax = 3, unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax),
+        binaryOps = Seq.empty, groupByAggs = Seq.empty)).run()
+    val keys = res.survivors.map(_.key)
+    assert(keys.distinct.size == keys.size)
+    // scale(x) has the same binned distribution as x -> fingerprint-deduped;
+    // minus(x) is inherited (skip rule); so survivors stay small
+    assert(res.survivors.count(_.passed) <= 2, res.survivors.mkString("\n"))
+  }
+
+  test("transcripts pipeline produces stable feature block on sf0.001") {
+    val out = FeatureConstructor.transcriptsPipeline(
+      Transcripts.fromEvents(Tables.events(spark, sf0001)),
+      CdfcConfig(cMax = 2, maxLayerWidth = 32))
+    val featCols = out.columns.filter(_.startsWith("feat_"))
+    assert(featCols.nonEmpty)
+    assert(out.count() > 0)
+    // deterministic: same search twice -> same columns
+    val out2 = FeatureConstructor.transcriptsPipeline(
+      Transcripts.fromEvents(Tables.events(spark, sf0001)),
+      CdfcConfig(cMax = 2, maxLayerWidth = 32))
+    assert(out.columns.toSeq == out2.columns.toSeq)
+  }
+}
