@@ -25,7 +25,8 @@ object SparkEntry {
     Seq(
       (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracles),
       (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracles),
-      (graft.queries.SearchQueries.queries, graft.queries.SearchQueries.oracles)
+      (graft.queries.SearchQueries.queries, graft.queries.SearchQueries.oracles),
+      (graft.queries.FairnessQueries.queries, graft.queries.FairnessQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

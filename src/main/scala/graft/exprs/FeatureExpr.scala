@@ -37,19 +37,26 @@ sealed trait FeatureExpr {
     case GroupByThenE(_, v, k) => v.rawCols ++ k.rawCols
   }
 
-  /** Stable structural rendering — canonical key AFTER [[Canon.canon]]. */
+  /** Stable structural rendering — canonical key AFTER [[Canon.canon]], and
+    * the serialization format parsed back by [[FeatureExprParser]]
+    * (checkpoint manifests + the ComplexityScore Catalyst expression).
+    */
   def render: String = this match {
-    case RawCol(n)             => n
-    case ConstOne              => "1"
-    case ConstVal(v)           => s"const($v)"
-    case ConcatE(cs)           => cs.map(_.render).mkString("{", ",", "}")
-    case Unary(op, c)          => s"${op.name}(${c.render})"
-    case BinaryE(op, l, r)     => s"${op.name}(${l.render},${r.render})"
-    case GroupByThenE(a, v, k) => s"(${a.name}(${v.render}) groupby ${k.render})"
+    case RawCol(n)                        => n
+    case ConstOne                         => "const(1.0)"
+    case ConstVal(v)                      => s"const($v)"
+    case ConcatE(cs)                      => cs.map(_.render).mkString("concat(", ",", ")")
+    case Unary(UnaryOp.EqualsStr(v), c)   => s"equals(${c.render},'$v')"
+    case Unary(op, c)                     => s"${op.name}(${c.render})"
+    case BinaryE(op, l, r)                => s"${op.name}(${l.render},${r.render})"
+    case GroupByThenE(a, v, k)            => s"groupby_${a.name}(${v.render},${k.render})"
   }
 
   /** Human-readable name, reference style (`"(agg(v) GroupyBy k)"`). */
-  def name: String = render
+  def name: String = this match {
+    case GroupByThenE(a, v, k) => s"(${a.name}(${v.name}) GroupByThen ${k.name})"
+    case _                     => render
+  }
 }
 
 final case class RawCol(colName: String) extends FeatureExpr
