@@ -26,7 +26,9 @@ object SparkEntry {
       (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracles),
       (graft.queries.TransformQueries.queries, graft.queries.TransformQueries.oracles),
       (graft.queries.SearchQueries.queries, graft.queries.SearchQueries.oracles),
-      (graft.queries.FairnessQueries.queries, graft.queries.FairnessQueries.oracles)
+      (graft.queries.FairnessQueries.queries, graft.queries.FairnessQueries.oracles),
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
+      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

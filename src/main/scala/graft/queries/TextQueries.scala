@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextFeatures
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup / multimodal queries over `documents`. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private val stop = TextFeatures.Lexicons.find(_._1 == "en").get._2
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).select(col("doc_id"), col("keep_id"),
+        col("is_dup").cast("long").as("is_dup"))),
+
+    "q_text_stats" -> ((s, dir) =>
+      TextFeatures.stats(docs(s, dir), stop)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("mean_tok_len"), col("stop_ratio"), col("short_ratio"), col("quality"))),
+
+    "q_langid" -> ((s, dir) =>
+      TextFeatures.langId(docs(s, dir))
+        .select((col("doc_id") +: TextFeatures.Lexicons.map { case (l, _) => col(s"hits_$l") })
+          :+ col("pred_lang"): _*)),
+
+    "q_fingerprint" -> ((s, dir) => {
+      val t = TextFeatures.tokens(docs(s, dir))
+      TextFeatures.fingerprint(t, TextFeatures.tokenDict(t))
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      val t = TextFeatures.tokens(docs(s, dir))
+      TextFeatures.simhash(t, TextFeatures.tokenDict(t))
+    }),
+
+    "q_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(Dedup.shingles(docs(s, dir)))),
+
+    "q_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidates(Dedup.minhashSignatures(Dedup.shingles(docs(s, dir))))),
+
+    "q_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingles(docs(s, dir)), threshold = 0.2)),
+
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.attachBinary(docs(s, dir))).toDF
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("frames").cast("long").as("frames"), round(col("decoded_mean"), 6).as("decoded_mean")))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |dict AS (
+      |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT tok FROM tok))""".stripMargin
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  private val P = TextFeatures.P
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+        |       CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM documents""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH $tokCte,
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tok,
+         |         SUM(CASE WHEN tok IN ${inList(stop)} THEN 1 ELSE 0 END) AS n_stop,
+         |         SUM(CASE WHEN LENGTH(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
+         |  FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(LENGTH(d.text) AS DOUBLE) AS n_chars, a.n_tok AS n_tokens,
+         |  ROUND((LENGTH(d.text) - (a.n_tok - 1)) / CAST(a.n_tok AS DOUBLE), 6) AS mean_tok_len,
+         |  ROUND(a.n_stop / CAST(a.n_tok AS DOUBLE), 6) AS stop_ratio,
+         |  ROUND(a.n_short / CAST(a.n_tok AS DOUBLE), 6) AS short_ratio,
+         |  ROUND(LEAST(a.n_tok / 100.0, 1.0) * 0.4 +
+         |        (1.0 - a.n_stop / CAST(a.n_tok AS DOUBLE)) * 0.3 +
+         |        (1.0 - a.n_short / CAST(a.n_tok AS DOUBLE)) * 0.3, 6) AS quality
+         |FROM documents d JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_langid" -> {
+      val sums = TextFeatures.Lexicons.map { case (l, lex) =>
+        s"CAST(SUM(CASE WHEN tok IN ${inList(lex)} THEN 1 ELSE 0 END) AS BIGINT) AS hits_$l"
+      }.mkString(",\n         ")
+      val langs = TextFeatures.Lexicons.map(_._1)
+      val m = s"GREATEST(${langs.map(l => s"hits_$l").mkString(",")})"
+      val caseChain = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString(" ")
+      s"""WITH $tokCte,
+         |h AS (
+         |  SELECT doc_id, $sums
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+         |       CASE WHEN $m = 0 THEN 'und' $caseChain END AS pred_lang
+         |FROM h""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      s"""WITH $tokCte
+         |SELECT t.doc_id,
+         |       CAST(SUM((d.tid * 2654435761 + t.pos * 40503) % $P) % $P AS BIGINT) AS fingerprint
+         |FROM tok t JOIN dict d USING (tok)
+         |GROUP BY t.doc_id""".stripMargin,
+
+    "q_simhash" -> {
+      val bitSums = (0 until 32).map(b =>
+        s"SUM((((h >> $b) & 1) * 2 - 1)) AS s$b").mkString(",\n         ")
+      val sig = (0 until 32).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH $tokCte,
+         |w AS (
+         |  SELECT t.doc_id, (d.tid * 2654435761) % 4294967296 AS h
+         |  FROM tok t JOIN dict d USING (tok)),
+         |agg AS (
+         |  SELECT doc_id, $bitSums
+         |  FROM w GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM agg""".stripMargin
+    },
+
+    "q_minhash" -> minhashSql(),
+    "q_lsh_pairs" -> {
+      val bandRows = (0 until 4).map { b =>
+        val sig = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""${minhashSql(cteOnly = true)},
+         |banded AS (
+         |  $bandRows)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
+    },
+
+    "q_jaccard" ->
+      s"""${shingleSql()},
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |fsh AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+         |  WHERE df <= 1000),
+         |inter AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+         |  FROM fsh l JOIN fsh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         |  GROUP BY l.doc_id, r.doc_id)
+         |SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+         |            JOIN sizes sb ON inter.b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2""".stripMargin,
+
+    "q_multimodal" -> {
+      val meanTerms = (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ")
+      s"""SELECT doc_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(LENGTH(text) AS BIGINT) AS byte_len,
+         |  CAST(LENGTH(text) % 640 + 1 AS BIGINT) AS width,
+         |  CAST((LENGTH(text) * 7) % 480 + 1 AS BIGINT) AS height,
+         |  CAST(LENGTH(text) % 30 + 1 AS BIGINT) AS frames,
+         |  ROUND(($meanTerms) / 16.0, 6) AS decoded_mean
+         |FROM documents""".stripMargin
+    }
+  )
+
+  /** Shingle CTE shared by minhash/jaccard oracles (3-token codes over the
+    * dense dictionary; V = |dict| + 1).
+    */
+  private def shingleSql(): String =
+    s"""WITH $tokCte,
+       |v AS (SELECT MAX(tid) + 1 AS v FROM dict),
+       |tt AS (SELECT t.doc_id, t.pos, d.tid FROM tok t JOIN dict d USING (tok)),
+       |sh AS (
+       |  SELECT DISTINCT t1.doc_id, t1.tid * v.v * v.v + t2.tid * v.v + t3.tid AS shingle
+       |  FROM tt t1
+       |  JOIN tt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN tt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+       |  CROSS JOIN v)""".stripMargin
+
+  private def minhashSql(cteOnly: Boolean = false): String = {
+    val mins = (0 until 16).map { i =>
+      val a = 1103515245L * (i + 1) % Dedup.P
+      val b = 12345L * (i + 1) % Dedup.P
+      s"MIN((shingle * $a + $b) % ${Dedup.P}) AS mh_$i"
+    }.mkString(",\n         ")
+    val base =
+      s"""${shingleSql()},
+         |sigs AS (
+         |  SELECT doc_id, $mins
+         |  FROM sh GROUP BY doc_id)""".stripMargin
+    if (cteOnly) base else base + "\nSELECT * FROM sigs"
+  }
+}

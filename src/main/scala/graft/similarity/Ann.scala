@@ -1,0 +1,119 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[cosineTopK]]: brute-force cosine top-k — the correctness baseline.
+  *    Dot products via higher-order functions (zip_with + aggregate), fully
+  *    codegen-adjacent, no UDFs.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — the scale path. Each
+  *    vector gets a `nBits` sign signature from deterministic pseudo-random
+  *    hyperplanes; only same-bucket pairs are scored. Bucketing turns the
+  *    O(N*Q) cross join into a bucket-local join; recall is tested against
+  *    the brute-force baseline.
+  *  - [[nearDupPairs]]: embedding-cosine near-duplicate detection (pairs
+  *    above a cosine threshold) over LSH buckets.
+  *
+  * Scale notes: brute-force is the oracle, not the plan — at 10^9 vectors
+  * use lshTopK (bucket join) and raise nBits so mean bucket size stays
+  * O(N / 2^nBits). The hyperplane components are a pure function of
+  * (bit, dim) so both sides bucket identically with no shared state.
+  */
+object Ann {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  def withNorm(embeddings: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame =
+    embeddings.select(col(id), col(vec).cast("array<double>").as(vec))
+      .withColumn("nrm", norm(col(vec)))
+
+  /** Brute-force cosine top-k: for each query (left) row, the k nearest
+    * rows of `corpus` (excluding self-id matches).
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val q = withNorm(queries, id, vec).select(col(id).as("qid"),
+      col(vec).as("qv"), col("nrm").as("qn"))
+    val c = withNorm(corpus, id, vec).select(col(id).as("nid"),
+      col(vec).as("cv"), col("nrm").as("cn"))
+    val scored = q.crossJoin(c)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * integer hash folded to [-0.5, 0.5). Portable to SQL.
+    */
+  private def plane(bit: Int, dim: Column): Column =
+    (pmod((dim + 1) * lit(2654435761L) + lit(bit.toLong) * lit(40503L), lit(1009L))
+      .cast("double") / 1009.0) - 0.5
+
+  /** Sign-signature bucket id over nBits hyperplanes; `table` offsets the
+    * hyperplane family so independent tables hash independently.
+    */
+  def lshBucket(vec: Column, nBits: Int = 8, table: Int = 0): Column =
+    (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * plane(table * 64 + b, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << b)).otherwise(0L)
+    }.reduce[Column](_ + _)
+
+  /** Multi-table LSH top-k: candidates = pairs sharing a bucket in ANY of
+    * `tables` independent hash tables (the standard recall amplifier:
+    * miss probability decays as (1-p)^tables), exact cosine on candidates
+    * only.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, nBits: Int = 8, tables: Int = 4,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val e = withNorm(embeddings, id, vec)
+    val buckets = (0 until tables).map { t =>
+      e.select(col(id), lit(t).as("tbl"), lshBucket(col(vec), nBits, t).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = buckets.as("l").join(buckets.as("r"), Seq("tbl", "bucket"))
+      .select(col(s"l.$id").as("qid"), col(s"r.$id").as("nid"))
+      .filter(col("qid") =!= col("nid"))
+      .distinct()
+    val q = e.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"))
+    val c = e.select(col(id).as("nid"), col(vec).as("cv"), col("nrm").as("cn"))
+    cand.join(q, "qid").join(c, "nid")
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
+    * restricted to LSH buckets.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 6,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val e = withNorm(embeddings, id, vec)
+      .withColumn("bucket", lshBucket(col(vec), nBits))
+    val l = e.select(col(id).as("a"), col(vec).as("av"), col("nrm").as("an"), col("bucket"))
+    val r = e.select(col(id).as("b"), col(vec).as("bv"), col("nrm").as("bn"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language-ID heuristic, document
+  * fingerprinting, SimHash. Everything is whitespace-token based and
+  * engine-portable (no library hashes): token ids come from a data-derived
+  * dictionary (sorted distinct tokens, dense ids), so an independent SQL
+  * engine reproduces every value bit-for-bit.
+  *
+  * Scale notes: the dictionary is a distinct-aggregate (map-side partial) of
+  * token-cardinality rows, broadcast back; per-document features are one
+  * explode + one groupBy(doc) — data shuffled is O(tokens), the unavoidable
+  * lower bound for order-sensitive token features.
+  */
+object TextFeatures {
+
+  val P: Long = 9007199254740881L // largest prime < 2^53
+
+  /** (doc_id, tok, pos) — pos is 1-based within the document. */
+  def tokens(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id), posexplode(split(col(text), " ")).as(Seq("pos0", "tok")))
+      .select(col(id), col("tok"), (col("pos0") + 1).as("pos"))
+
+  /** Dense token dictionary: sorted distinct tokens -> ids 1..V. */
+  def tokenDict(toks: DataFrame): DataFrame =
+    toks.select(col("tok")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+
+  /** Per-document surface statistics + a composite quality score in [0,1]. */
+  def stats(docs: DataFrame, stopwords: Seq[String],
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = split(col(text), " ")
+    val nTok = size(toks).cast("double")
+    val stopArr = typedLit(stopwords)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nShort = size(filter(toks, t => length(t) <= 2)).cast("double")
+    val nChars = length(col(text)).cast("double")
+    docs.select(
+      col(id),
+      nChars.as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round((nChars - (nTok - 1)) / nTok, 6).as("mean_tok_len"),
+      round(nStop / nTok, 6).as("stop_ratio"),
+      round(nShort / nTok, 6).as("short_ratio"),
+      // quality: long enough, not stopword soup, not fragment soup
+      round(
+        least(nTok / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - nStop / nTok) * 0.3 +
+          (lit(1.0) - nShort / nTok) * 0.3, 6).as("quality"))
+  }
+
+  /** Stopword-lexicon language-ID heuristic: hit counts per language,
+    * argmax with alphabetical tie-break (deterministic).
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "les", "de", "et", "est"))
+
+  def langId(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = split(col(text), " ")
+    val hits = Lexicons.map { case (lang, lex) =>
+      lang -> size(filter(toks, t => array_contains(typedLit(lex), t))).cast("long")
+    }
+    val withHits = docs.select(col(id) +: hits.map { case (l, c) => c.as(s"hits_$l") }: _*)
+    // argmax with alphabetical tie-break (strict > keeps the earliest max)
+    val langs = Lexicons.map(_._1)
+    val pred = langs.tail.foldLeft[(Column, Column)]((col(s"hits_${langs.head}"), lit(langs.head))) {
+      case ((bc, bl), lang) =>
+        val c = col(s"hits_$lang")
+        (when(c > bc, c).otherwise(bc), when(c > bc, lit(lang)).otherwise(bl))
+    }
+    withHits.withColumn("pred_lang", when(greatest(langs.map(l => col(s"hits_$l")): _*) === 0, "und")
+      .otherwise(pred._2))
+  }
+
+  /** Order-sensitive rolling document fingerprint over dictionary ids:
+    * fp = sum((tid * 2654435761 + pos * 40503) mod P) mod P.
+    */
+  def fingerprint(toks: DataFrame, dict: DataFrame, id: String = "doc_id"): DataFrame =
+    toks.join(broadcast(dict), "tok")
+      .groupBy(col(id))
+      .agg(pmod(sum(pmod(col("tid") * lit(2654435761L) + col("pos") * lit(40503L), lit(P))), lit(P))
+        .as("fingerprint"))
+
+  /** 32-bit SimHash over dictionary-id token hashes
+    * (h = tid * 2654435761 mod 2^32; bit b set iff sum over tokens of
+    * (2*bit_b(h) - 1) > 0).
+    */
+  def simhash(toks: DataFrame, dict: DataFrame, id: String = "doc_id"): DataFrame = {
+    val h = pmod(col("tid") * lit(2654435761L), lit(4294967296L))
+    val withH = toks.join(broadcast(dict), "tok").withColumn("h", h)
+    val bitSums = (0 until 32).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b")
+    }
+    val agg = withH.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce[Column](_ + _)
+    agg.select(col(id), sig.as("simhash"))
+  }
+}

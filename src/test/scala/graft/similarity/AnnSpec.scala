@@ -1,0 +1,43 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lshTopK recalls most of brute-force top-5 (same-bucket bias)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val brute = Ann.cosineTopK(e, e, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(e, k = 5, nBits = 4)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 4-bit buckets on 500 vecs ~ 31/bucket; nearest neighbors land in the
+    // same half-space bucket far more often than chance
+    assert(recall > 0.2, s"recall=$recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("nearDupPairs finds planted exact duplicates with cos=1") {
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+    val dup = e.withColumn("vec_id", col("vec_id") + 10000)
+    val both = e.unionByName(dup)
+    val pairs = Ann.nearDupPairs(both, threshold = 0.999, nBits = 4)
+      .as[(Long, Long, Double)].collect()
+    val planted = pairs.filter { case (a, b, _) => b == a + 10000 }
+    assert(planted.length == 50, s"found ${planted.length}")
+    assert(planted.forall(_._3 >= 0.999999))
+  }
+
+  test("brute-force top-1 neighbor of a vector's scaled copy is that copy") {
+    val e = Tables.embeddings(spark, sf0001).limit(20)
+    val scaled = e.select((col("vec_id") + 500).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+      col("label"))
+    val all = e.unionByName(scaled)
+    val top1 = Ann.cosineTopK(e, all, k = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toMap
+    assert((0L until 20L).forall(q => top1(q) == q + 500), top1.toString)
+  }
+}
