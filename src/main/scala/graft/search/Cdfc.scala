@@ -63,7 +63,11 @@ final class Cdfc(
     rawCategorical: Seq[String],
     groupKeys: Seq[String],
     label: Column,
-    cfg: CdfcConfig = CdfcConfig()) {
+    cfg: CdfcConfig = CdfcConfig(),
+    checkpointDir: Option[String] = None) {
+
+  import graft.checkpoint.Checkpoint
+  import graft.checkpoint.Checkpoint.{SearchState, SurvivorRow}
 
   def run(): CdfcResult = {
     val seen = collection.mutable.HashSet[String]()
@@ -209,12 +213,40 @@ final class Cdfc(
       }
     }
 
+    // ---- checkpoint hooks --------------------------------------------
+    val spark = df.sparkSession
+    def toRow(s: Scored): SurvivorRow =
+      SurvivorRow(s.complexity, s.key, s.score, s.complexity, s.passed, s.inherited)
+    def commitLayer(layer: Int, newRows: Seq[Scored], t0: Long): Unit =
+      checkpointDir.foreach { d =>
+        Checkpoint.save(spark, d, SearchState(layer, seen.toSet, fingerprints.toSet,
+          scores.toMap, survivors.map(toRow).toSeq, fit, profiles.toMap))
+        Checkpoint.appendAudit(spark, d, newRows.map(toRow),
+          (System.nanoTime() - t0) / 1000000L)
+        Checkpoint.appendLineage(d, layer, df)
+      }
+    val restored = checkpointDir.flatMap(d => Checkpoint.load(spark, d, cfg.cMax))
+    restored.foreach { st =>
+      seen ++= st.seen; fingerprints ++= st.fingerprints; scores ++= st.scores
+      fit = st.fit; profiles ++= st.profiles
+      st.survivors.foreach { r =>
+        val e = FeatureExprParser.parse(r.expr)
+        survivors += Scored(e, r.expr, r.complexity, r.score, r.passed, r.inherited)
+        byComplexity(r.complexity) = byComplexity(r.complexity) :+ e
+      }
+    }
+
     // ---- layer loop --------------------------------------------------
-    evaluate(layer1, 1)
+    if (restored.isEmpty) {
+      val t0 = System.nanoTime()
+      evaluate(layer1, 1)
+      commitLayer(1, survivors.toSeq, t0)
+    }
     var best = survivors.maxByOption(_.score)
     var nonImproving = 0
-    var layer = 2
+    var layer = restored.map(_.layer + 1).getOrElse(2)
     while (layer <= cfg.cMax && nonImproving < cfg.stopAfterNonImproving) {
+      val t0 = System.nanoTime()
       val enumerated = enumerateLayer(layer, oneHots)
       val fresh = enumerated.filter { e =>
         val k = Canon.key(e)
@@ -223,6 +255,7 @@ final class Cdfc(
       val survivedBefore = survivors.size
       evaluate(fresh, layer)
       layerLog += ((layer, enumerated.size, survivors.size - survivedBefore))
+      commitLayer(layer, survivors.drop(survivedBefore).toSeq, t0)
       val newBest = survivors.maxByOption(_.score)
       if (newBest.map(_.score) == best.map(_.score)) nonImproving += 1
       else { nonImproving = 0; best = newBest }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.transcripts.Transcripts
+import graft.windows.{AsOfJoin, WindowFeatures}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the 100 TB contract is enforced here, not just
+  * eyeballed — shuffle counts, parquet pushdown, and codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("standardFeatures: ALL window features share ONE exchange on conv_id") {
+    val t = Transcripts.fromEvents(Tables.events(spark, sf0001))
+    val p = plan(WindowFeatures.standardFeatures(t))
+    // one exchange for the row_number in fromEvents is reused (same key);
+    // hashpartitioning appears once per distinct partitioning
+    val exchanges = countOccurrences(p, "Exchange hashpartitioning")
+    assert(exchanges <= 2, s"expected <=2 exchanges (derive + conv window), got $exchanges:\n$p")
+  }
+
+  test("asOf union+window plan: exactly one hash exchange, no join node") {
+    val left = Transcripts.fromEvents(Tables.events(spark, sf0001))
+      .select("conv_id", "turn_idx", "ts")
+    val right = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"), col("value").as("pval"))
+    val p = plan(AsOfJoin.asOf(left, right, "conv_id", Seq("pval"), col("event_id")))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"as-of must not plan a join node:\n$p")
+    // left side derives transcripts (1 exchange on user_id) + 1 union window
+    // exchange on conv_id
+    val exchanges = countOccurrences(p, "Exchange hashpartitioning")
+    assert(exchanges <= 2, s"got $exchanges exchanges:\n$p")
+  }
+
+  test("filter on the as-of right side is pushed to the parquet scan") {
+    val right = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+    val p = plan(right)
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
+  test("scalar transform queries stay inside whole-stage codegen with no exchange") {
+    val df = graft.queries.TransformQueries.queries("q_unary")(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"pure scalar transforms must not shuffle:\n$p")
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(p.contains("*(1) Project"), p)
+  }
+
+  test("column pruning: text-length projection reads only needed columns") {
+    val t = Tables.events(spark, sf0001).select(length(col("props")).as("l"))
+    val p = plan(t)
+    assert(p.contains("ReadSchema: struct<props:string>"), p)
+  }
+}
