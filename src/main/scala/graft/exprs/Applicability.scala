@@ -18,6 +18,7 @@ object Applicability {
     case UnaryOp.Sqrt     => p.isNumeric && p.min >= 0
     case UnaryOp.MinMax   => p.isNumeric && !(p.min >= 0 && p.max <= 1) // skip if already scaled
     case UnaryOp.StdScale | UnaryOp.ZScore => p.isNumeric && p.distinct > 1
+    case UnaryOp.MDLP => p.isNumeric && !p.hasMissing && p.distinct > 2
     case UnaryOp.DiscretizeEW(b) => p.isNumeric && p.distinct > b
     case UnaryOp.DiscretizeQ(b)  => p.isNumeric && p.distinct > b
     case _: UnaryOp.Impute       => p.hasMissing // raw-only guard enforced by the search
@@ -64,6 +65,10 @@ object Applicability {
     case UnaryOp.MinMax  => p.copy(min = 0.0, max = 1.0, hasZero = true)
     case UnaryOp.StdScale | UnaryOp.ZScore =>
       p.copy(min = Double.NaN, max = Double.NaN, hasZero = true)
+    case UnaryOp.MDLP =>
+      // cut count is data-dependent; conservative small-bin profile
+      p.copy(min = 0, max = Double.NaN, distinct = math.min(p.distinct, 32),
+        hasZero = true, missing = 0)
     case UnaryOp.DiscretizeEW(b) =>
       p.copy(min = if (p.hasMissing) -1 else 0, max = b - 1,
         distinct = math.min(p.distinct, b + (if (p.hasMissing) 1 else 0)),

@@ -57,6 +57,9 @@ object Canon {
         case (UnaryOp.Minus, Unary(UnaryOp.Minus, x)) => x
         case (UnaryOp.Inv, Unary(UnaryOp.Inv, x))     => x
         case (o, Unary(o2, _)) if o.idempotent && o == o2 => c
+        // mdlpdiscretize(scale(x)) = mdlpdiscretize(x) — MDLP is invariant
+        // under monotone rescaling (`MDLPDiscretizerTransformation.py:11-17`)
+        case (UnaryOp.MDLP, Unary(UnaryOp.MinMax, x)) => step(Unary(UnaryOp.MDLP, x))
         // exp(log(x)) = x, log(exp(x)) = x (sympy automatic simplification)
         case (UnaryOp.Exp, Unary(UnaryOp.Log, x)) => x
         case (UnaryOp.Log, Unary(UnaryOp.Exp, x)) => x

@@ -99,6 +99,11 @@ object UnaryOp {
   case object MinMax   extends UnaryOp("scale")   { override def idempotent = true; override def needsFit = true }
   case object StdScale extends UnaryOp("stdscale"){ override def idempotent = true; override def needsFit = true }
   case object ZScore   extends UnaryOp("zscore")  { override def idempotent = true; override def needsFit = true }
+  /** Supervised Fayyad-Irani MDLP binning (fit needs the label; see
+    * [[graft.search.Mdlp]]). */
+  case object MDLP extends UnaryOp("mdlpdiscretize") {
+    override def idempotent = true; override def needsFit = true
+  }
   final case class DiscretizeEW(bins: Int) extends UnaryOp(s"discretize$bins") {
     override def idempotent = true; override def needsFit = true
   }

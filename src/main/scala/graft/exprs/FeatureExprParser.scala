@@ -21,7 +21,8 @@ object FeatureExprParser {
     UnaryOp.Abs, UnaryOp.Rint, UnaryOp.Exp, UnaryOp.Sin, UnaryOp.Cos,
     UnaryOp.Tan, UnaryOp.Sinh, UnaryOp.Cosh, UnaryOp.Tanh, UnaryOp.Degrees,
     UnaryOp.Radians, UnaryOp.Sigmoid, UnaryOp.MinMax, UnaryOp.StdScale,
-    UnaryOp.ZScore, UnaryOp.ImputeMean, UnaryOp.ImputeMedian, UnaryOp.ImputeMode)
+    UnaryOp.ZScore, UnaryOp.ImputeMean, UnaryOp.ImputeMedian, UnaryOp.ImputeMode,
+    UnaryOp.MDLP)
     .map(op => op.name -> op).toMap
 
   private val binByName: Map[String, BinOp] = Seq(

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Fitter {
 
+  /** @param label required when any expression contains a supervised fit op
+    *              (MDLP) — its histogram job needs the class column
+    */
   def fit(fitDf: DataFrame, exprs: Seq[FeatureExpr],
-      raw: String => Column = col, known: FitStats = FitStats.empty): FitStats = {
+      raw: String => Column = col, known: FitStats = FitStats.empty,
+      label: Option[Column] = None): FitStats = {
     // All distinct fit-requiring Unary nodes across the canon'd forest.
     def fitNodes(e: FeatureExpr): Seq[Unary] = {
       val self = e match {
@@ -44,10 +48,20 @@ object Fitter {
     while (pending.nonEmpty && guard < 8) {
       guard += 1
       // Ready = nodes whose own descendants' fit-nodes are all fitted.
-      val ready = pending.filter { case (_, u) =>
+      val readyAll = pending.filter { case (_, u) =>
         fitNodes(u.child).forall(d => stats.get(Canon.key(d)).isDefined)
       }
-      require(ready.nonEmpty, s"fit cycle? pending=${pending.keys}")
+      require(readyAll.nonEmpty, s"fit cycle? pending=${pending.keys}")
+      // supervised fits (MDLP) run their own histogram job each
+      val (mdlpReady, ready) = readyAll.partition(_._2.op == UnaryOp.MDLP)
+      mdlpReady.foreach { case (key, u) =>
+        val y = label.getOrElse(throw new IllegalArgumentException(
+          s"MDLP fit for $key requires a label column"))
+        val c = Lower.toColumn(u.child, stats, raw).cast("double")
+        stats = stats ++ FitStats(Map(key -> graft.search.Mdlp.fitCuts(fitDf, c, y)))
+      }
+      if (ready.isEmpty) { pending = pending -- mdlpReady.keys }
+      else {
       val aggsAndDecode: Seq[(String, Seq[Column], org.apache.spark.sql.Row => IndexedSeq[Double])] =
         ready.toSeq.map { case (key, u) =>
           val c = Lower.toColumn(u.child, stats, raw).cast("double")
@@ -87,7 +101,8 @@ object Fitter {
       val row = fitDf.agg(
         aggsAndDecode.flatMap(_._2).head, aggsAndDecode.flatMap(_._2).tail: _*).head()
       stats = stats ++ FitStats(aggsAndDecode.map { case (k, _, dec) => k -> dec(row) }.toMap)
-      pending = pending -- ready.keys
+      pending = pending -- ready.keys -- mdlpReady.keys
+      }
     }
     require(pending.isEmpty, s"unfitted nodes after ${guard} passes: ${pending.keys}")
     stats

@@ -66,6 +66,8 @@ object Lower {
         case UnaryOp.StdScale | UnaryOp.ZScore =>
           val Seq(mu, sd) = stats.take(2).toSeq
           if (sd == 0.0 || sd.isNaN) lit(0.0) else (c - lit(mu)) / lit(sd)
+        case UnaryOp.MDLP =>
+          graft.search.Mdlp.binColumn(c, stats)
         case UnaryOp.DiscretizeEW(b) =>
           val Seq(lo, hi) = stats.take(2).toSeq
           val w = (hi - lo) / b

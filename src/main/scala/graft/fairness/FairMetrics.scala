@@ -73,7 +73,8 @@ object FairMetrics {
       .withColumn("__total", sum(col("nz")).over())
       .filter(!isnan(col("__or")) && col("__or") =!= Double.PositiveInfinity &&
         col("__or") =!= Double.NegativeInfinity)
-      .agg((-abs(sum(col("__or") * col("nz") / col("__total")) - 1.0)).as("rod"))
+      // all ORs non-finite => empty sum; reference: np.dot([],[]) = 0 -> rod = -1
+      .agg((-abs(coalesce(sum(col("__or") * col("nz") / col("__total")), lit(0.0)) - 1.0)).as("rod"))
   }
 
   /** CDP (`CDP.py:30-71`): per context, between-group difference (max-min)

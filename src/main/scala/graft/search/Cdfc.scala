@@ -38,7 +38,7 @@ final case class CdfcConfig(
     maxLayerWidth: Int = 512,
     unaryOps: Seq[UnaryOp] = Seq(
       UnaryOp.Minus, UnaryOp.Inv, UnaryOp.Log, UnaryOp.MinMax,
-      UnaryOp.ImputeMean, UnaryOp.DiscretizeEW(10)),
+      UnaryOp.ImputeMean, UnaryOp.MDLP),
     binaryOps: Seq[BinOp] = Seq(BinOp.Add, BinOp.Mul),
     groupByAggs: Seq[AggKind] = Seq(AggKind.Mean, AggKind.Max, AggKind.Min, AggKind.Std),
     stopAfterNonImproving: Int = 2)
@@ -166,7 +166,7 @@ final class Cdfc(
         case BinaryE(BinOp.Add | BinOp.Sub, _, _)     => true
         case _                                        => false
       }
-      fit = Fitter.fit(df, toEval ++ inherit, known = fit)
+      fit = Fitter.fit(df, toEval ++ inherit, known = fit, label = Some(label))
 
       toEval.grouped(cfg.batchSize).foreach { batch =>
         val named = batch.map(e => Lower.alias(e) -> e)

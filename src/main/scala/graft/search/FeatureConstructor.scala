@@ -47,7 +47,7 @@ object FeatureConstructor {
       })
       if (needsScale) Canon.canon(Unary(UnaryOp.MinMax, s.expr)) else s.expr
     }
-    val fit2 = Fitter.fit(df, scaled, known = res.fit)
+    val fit2 = Fitter.fit(df, scaled, known = res.fit, label = Some(label))
     val named = scaled.zip(passed).map { case (e, s) => s"feat_${Lower.alias(s.expr)}" -> e }
     FeatureModel(passed, named, fit2, res)
   }
