@@ -28,7 +28,8 @@ object SparkEntry {
       (graft.queries.SearchQueries.queries, graft.queries.SearchQueries.oracles),
       (graft.queries.FairnessQueries.queries, graft.queries.FairnessQueries.oracles),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
-      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles)
+      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
+      (graft.queries.LegacyQueries.queries, graft.queries.LegacyQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.transcripts.Turn
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming variants of the windowed feature core: the same
+  * gap-sessionization and at-or-before running features, expressed over an
+  * unbounded transcripts stream.
+  *
+  * The reference is batch-only (SURVEY §2.7); these exist because a
+  * transcripts table at 10^12 turns is fed by a live stream — the batch
+  * at-or-before semantics ARE streaming semantics (a feature at ts reads
+  * only turns <= ts), so the two paths agree row-for-row on any prefix
+  * (property-tested in StreamingSpec).
+  */
+object StreamingFeatures {
+
+  /** Session aggregates via the built-in session_window (watermarked,
+    * late-data-tolerant): one row per (conv_id, session).
+    */
+  def sessionAggregates(
+      turns: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), session_window(col("ts"), gap).as("session"))
+      .agg(
+        count(lit(1)).as("session_turns"),
+        sum(length(col("text")).cast("long")).as("session_chars"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("conv_id"), col("session.start").as("window_start"),
+        col("session_turns"), col("session_chars"),
+        col("session_start"), col("session_end"))
+
+  final case class ConvState(
+      lastTsMicros: Long,
+      turnCount: Long,
+      lenSum: Double,
+      lastTool: Option[String],
+      sessionId: Int)
+
+  final case class EnrichedTurn(
+      conv_id: String,
+      turn_idx: Int,
+      ts: Timestamp,
+      gap_secs: Option[Double],
+      turns_so_far: Long,
+      run_mean_len: Double,
+      last_tool: Option[String],
+      session_id: Int)
+
+  /** Per-turn running features via keyed state (flatMapGroupsWithState):
+    * gap to previous turn, running count/mean, last tool backfill, gap-based
+    * session id — exactly the batch WindowFeatures semantics, incrementally.
+    *
+    * Turns of one conversation must arrive in (ts, turn_idx) order within
+    * the group iterator — guaranteed by sorting each micro-batch group
+    * (state carries exactness across batches).
+    */
+  def runningFeatures(
+      turns: Dataset[Turn],
+      sessionGapSeconds: Long = 1800L): Dataset[EnrichedTurn] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, EnrichedTurn](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) =>
+          var st = state.getOption.getOrElse(ConvState(Long.MinValue, 0L, 0.0, None, 0))
+          // full microsecond precision: getTime truncates to millis
+          def micros(ts: Timestamp): Long =
+            (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val out = rows.toSeq.sortBy(t => (micros(t.ts), t.turn_idx)).map { t =>
+            val tsMicros = micros(t.ts)
+            val gap =
+              if (st.lastTsMicros == Long.MinValue) None
+              else Some((tsMicros - st.lastTsMicros) / 1e6)
+            val newSession = gap.exists(_ > sessionGapSeconds)
+            st = ConvState(
+              tsMicros,
+              st.turnCount + 1,
+              st.lenSum + t.text.length,
+              t.tool.orElse(st.lastTool),
+              st.sessionId + (if (newSession) 1 else 0))
+            EnrichedTurn(convId, t.turn_idx, t.ts, gap, st.turnCount,
+              st.lenSum / st.turnCount, st.lastTool, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.transcripts.{Transcripts, Turn}
+import graft.windows.WindowFeatures
+import graft.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchTurns = Transcripts.fromEvents(Tables.events(spark, sf0001))
+
+  test("streaming runningFeatures == batch WindowFeatures on any prefix (2 micro-batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val turns = batchTurns.as[Turn].collect().sortBy(t => (t.ts.getTime, t.turn_idx))
+    val (first, second) = turns.splitAt(turns.length / 2)
+    // split respects event time -> second batch has no turns before first's
+    val stream = MemoryStream[Turn]
+    val q = StreamingFeatures.runningFeatures(stream.toDS())
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    stream.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("enriched")
+      .select("conv_id", "turn_idx", "gap_secs", "turns_so_far", "run_mean_len", "last_tool", "session_id")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+
+    val batch = WindowFeatures.standardFeatures(batchTurns)
+      .select(col("conv_id"), col("turn_idx"), col("gap_secs"),
+        (col("turn_idx") + 1).cast("long").as("turns_so_far"),
+        col("run_mean_len"), col("last_tool"), col("session_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.toSeq.drop(2)).toMap
+
+    assert(streamed.size == batch.size && streamed.nonEmpty)
+    batch.foreach { case (k, v) =>
+      val s = streamed(k)
+      // gap
+      assert(Option(s(0)) == Option(v(0)), s"$k gap: $s vs $v")
+      assert(s(1) == v(1), s"$k count")
+      assert(math.abs(s(2).asInstanceOf[Double] - v(2).asInstanceOf[Double]) < 1e-9, s"$k mean")
+      assert(s(3) == v(3), s"$k tool")
+      assert(s(4) == v(4), s"$k session")
+    }
+  }
+
+  test("session_window aggregates: turn counts per conversation match batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val turns = batchTurns.as[Turn].collect().toIndexedSeq
+    val stream = MemoryStream[Turn]
+    val q = StreamingFeatures.sessionAggregates(stream.toDS().toDF(), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    stream.addData(turns)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedTotal = spark.table("sessions")
+      .agg(sum("session_turns")).head().getLong(0)
+    assert(streamedTotal == turns.size)
+    // session count per conv matches the batch gap-sessionization
+    val batchSessions = batchTurns
+      .withColumn("sid", WindowFeatures.sessionId(1800L))
+      .groupBy("conv_id").agg(countDistinct("sid").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamSessions = spark.table("sessions")
+      .groupBy("conv_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamSessions == batchSessions)
+  }
+}
