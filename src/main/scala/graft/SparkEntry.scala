@@ -29,7 +29,8 @@ object SparkEntry {
       (graft.queries.FairnessQueries.queries, graft.queries.FairnessQueries.oracles),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
       (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracles),
-      (graft.queries.LegacyQueries.queries, graft.queries.LegacyQueries.oracles)
+      (graft.queries.LegacyQueries.queries, graft.queries.LegacyQueries.oracles),
+      (graft.queries.VectorQueries.queries, graft.queries.VectorQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
