@@ -52,13 +52,15 @@ object Fitter {
         fitNodes(u.child).forall(d => stats.get(Canon.key(d)).isDefined)
       }
       require(readyAll.nonEmpty, s"fit cycle? pending=${pending.keys}")
-      // supervised fits (MDLP) run their own histogram job each
+      // supervised fits (MDLP): ONE batched histogram job for all nodes
       val (mdlpReady, ready) = readyAll.partition(_._2.op == UnaryOp.MDLP)
-      mdlpReady.foreach { case (key, u) =>
+      if (mdlpReady.nonEmpty) {
         val y = label.getOrElse(throw new IllegalArgumentException(
-          s"MDLP fit for $key requires a label column"))
-        val c = Lower.toColumn(u.child, stats, raw).cast("double")
-        stats = stats ++ FitStats(Map(key -> graft.search.Mdlp.fitCuts(fitDf, c, y)))
+          s"MDLP fit requires a label column (nodes: ${mdlpReady.keys})"))
+        val nodes = mdlpReady.toSeq.map { case (key, u) =>
+          key -> Lower.toColumn(u.child, stats, raw).cast("double")
+        }
+        stats = stats ++ FitStats(graft.search.Mdlp.fitCutsBatch(fitDf, nodes, y))
       }
       if (ready.isEmpty) { pending = pending -- mdlpReady.keys }
       else {

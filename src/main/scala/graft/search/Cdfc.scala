@@ -69,6 +69,11 @@ final class Cdfc(
   import graft.checkpoint.Checkpoint
   import graft.checkpoint.Checkpoint.{SearchState, SurvivorRow}
 
+  // NOTE on persisting the base: measured 4x SLOWER at sf0.1 (239s vs 55s
+  // for the flagship search) — the columnar cache build + per-job decompress
+  // costs more than replaying the short lineage at test scale. At 10^12
+  // rows the caller should persist the base input itself; the search does
+  // not force it.
   def run(): CdfcResult = {
     val seen = collection.mutable.HashSet[String]()
     val fingerprints = collection.mutable.HashSet[Long]()

@@ -57,7 +57,16 @@ object FeatureConstructor {
     * whether the NEXT turn is a tool call.
     */
   def transcriptsPipeline(transcripts: DataFrame, cfg: CdfcConfig = CdfcConfig()): DataFrame = {
-    val base = baseFeatures(transcripts)
+    // project NARROW before the search: the search issues many jobs over
+    // the base; recomputing the window lineage per job is cheap only if the
+    // rows crossing its shuffle are slim (text etc. dropped). NOTE: do NOT
+    // .persist() here — measured reproducibly ~5x slower than lineage
+    // replay in this environment (236-328s vs 45-55s for the flagship
+    // search at sf0.1); the columnar cache build/read costs more than the
+    // narrow recompute.
+    val base = baseFeatures(transcripts).select(
+      "conv_id", "turn_idx", "text_len", "gap_secs", "roll5_mean_len",
+      "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool")
     val model = fit(base,
       rawNumeric = Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
       rawCategorical = Seq("role", "prev_role"),

@@ -35,19 +35,15 @@ object Mdlp {
       .groupBy(value.cast("double").as("v"), label.cast("string").as("y"))
       .agg(count(lit(1)).as("n"))
       .collect()
-    val classes = hist.map(_.getString(1)).distinct.sorted
-    val classIdx = classes.zipWithIndex.toMap
-    val byValue = hist.groupBy(_.getDouble(0)).toArray.sortBy(_._1)
-    require(byValue.length <= maxDistinct,
-      s"MDLP: ${byValue.length} distinct values exceeds driver bound $maxDistinct")
-    val values = byValue.map(_._1)
-    val k = classes.length
-    // counts(i)(c) = rows with value=values(i), class c
-    val counts = byValue.map { case (_, rows) =>
-      val a = new Array[Long](k)
-      rows.foreach(r => a(classIdx(r.getString(1))) += r.getLong(2))
-      a
-    }
+    cutsFromHistogram(
+      hist.map(r => (r.getDouble(0), r.getString(1), r.getLong(2))), maxDistinct)
+  }
+
+  /** The Fayyad-Irani recursion proper, over sorted distinct values and
+    * per-value class counts.
+    */
+  private def runMdlp(values: Array[Double], counts: Array[Array[Long]],
+      k: Int): IndexedSeq[Double] = {
     // prefix(i)(c) = counts over values(0..i-1)
     val prefix = Array.ofDim[Long](values.length + 1, k)
     for (i <- values.indices; c <- 0 until k)
@@ -101,6 +97,53 @@ object Mdlp {
     }
     recurse(0, values.length)
     cuts.sorted.toIndexedSeq
+  }
+
+  /** Batch variant: ONE histogram job for many (key, value-column) pairs —
+    * rows are exploded as (node, value) pairs so all per-node histograms
+    * come back from a single groupBy, instead of one job per MDLP node
+    * (the per-layer job count is what dominates search latency).
+    */
+  def fitCutsBatch(df: DataFrame, nodes: Seq[(String, Column)], label: Column,
+      maxDistinct: Int = 100000): Map[String, IndexedSeq[Double]] = {
+    if (nodes.isEmpty) return Map.empty
+    if (nodes.size == 1) return Map(nodes.head._1 -> fitCuts(df, nodes.head._2, label, maxDistinct))
+    val pairs = nodes.zipWithIndex.map { case ((_, c), i) =>
+      struct(lit(i).as("nid"), c.cast("double").as("v"))
+    }
+    val hist = df
+      .filter(label.isNotNull)
+      .select(explode(array(pairs: _*)).as("nv"), label.cast("string").as("y"))
+      .select(col("nv.nid").as("nid"), col("nv.v").as("v"), col("y"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .groupBy(col("nid"), col("v"), col("y"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val byNode = hist.groupBy(_.getInt(0))
+    nodes.zipWithIndex.map { case ((key, _), i) =>
+      val rows = byNode.getOrElse(i, Array.empty)
+      key -> cutsFromHistogram(
+        rows.map(r => (r.getDouble(1), r.getString(2), r.getLong(3))), maxDistinct)
+    }.toMap
+  }
+
+  /** Driver-side MDLP recursion over a (value, class, count) histogram. */
+  private def cutsFromHistogram(hist: Array[(Double, String, Long)],
+      maxDistinct: Int): IndexedSeq[Double] = {
+    if (hist.isEmpty) return IndexedSeq.empty
+    val classes = hist.map(_._2).distinct.sorted
+    val classIdx = classes.zipWithIndex.toMap
+    val byValue = hist.groupBy(_._1).toArray.sortBy(_._1)
+    require(byValue.length <= maxDistinct,
+      s"MDLP: ${byValue.length} distinct values exceeds driver bound $maxDistinct")
+    val values = byValue.map(_._1)
+    val k = classes.length
+    val counts = byValue.map { case (_, rows) =>
+      val a = new Array[Long](k)
+      rows.foreach(r => a(classIdx(r._2)) += r._3)
+      a
+    }
+    runMdlp(values, counts, k)
   }
 
   /** Lower the fitted cuts to a bin column: bin = #cuts below x (right-

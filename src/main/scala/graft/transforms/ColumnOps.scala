@@ -49,6 +49,40 @@ object ColumnOps {
     count(lit(1)).over(Window.partitionBy(c)).cast("double") /
       count(lit(1)).over(Window.partitionBy())
 
+  /** Helmert contrast coding (patsy convention over sorted levels): for
+    * contrast j in 1..k-1, level index i (0-based):
+    * -1 if i < j, j if i == j, 0 if i > j. Returns k-1 columns
+    * `<out>_1..<out>_{k-1}` attached via broadcast dict join.
+    */
+  def helmertEncode(df: DataFrame, c: String, out: String): DataFrame =
+    contrastEncode(df, c, out) { (i, j, _) =>
+      if (i < j) -1.0 else if (i == j) j.toDouble else 0.0
+    }
+
+  /** Backward-difference coding: contrast j compares level j to level j-1;
+    * level i gets -(k-j)/k if i < j else j/k.
+    */
+  def backwardDifferenceEncode(df: DataFrame, c: String, out: String): DataFrame =
+    contrastEncode(df, c, out) { (i, j, k) =>
+      if (i < j) -(k - j).toDouble / k else j.toDouble / k
+    }
+
+  private def contrastEncode(df: DataFrame, c: String, out: String)(
+      coef: (Int, Int, Int) => Double): DataFrame = {
+    val levels = df.select(col(c).cast("string").as(c)).distinct()
+      .collect().map(_.getString(0)).sorted
+    val k = levels.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = levels.zipWithIndex.map { case (lv, i) =>
+      (lv, (1 until k).map(j => coef(i, j, k)))
+    }
+    val dict = rows.toSeq.toDF(c, "__coefs")
+      .select(col(c) +: (1 until k).map(j =>
+        element_at(col("__coefs"), j).as(s"${out}_$j")): _*)
+    df.withColumn(c, col(c).cast("string")).join(broadcast(dict), Seq(c), "left")
+  }
+
   // ---- numeric mappers -------------------------------------------------
 
   /** scipy rankdata(method='average'): min-rank + (ties-1)/2, over a global
