@@ -33,21 +33,34 @@ object Dedup {
       .withColumn("keep_id", min(col(id)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(text))))
       .select(col(id), col("keep_id"), (col(id) =!= col("keep_id")).cast("int").as("is_dup"))
 
-  /** (doc_id, shingle): 3-token shingle codes tid1*V^2 + tid2*V + tid3. */
+  /** (doc_id, shingle): 3-token shingle codes tid1*V^2 + tid2*V + tid3.
+    *
+    * Plan shape: broadcast the token dictionary as a map expression, encode
+    * the token array to a tid array row-locally, and slide a 3-window over
+    * it with `transform` — NO self-joins (the naive 3-way positional join
+    * shuffles the token table three times; this shuffles nothing but the
+    * final distinct).
+    */
   def shingles(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val toks = TextFeatures.tokens(docs, id, text)
     val dict = TextFeatures.tokenDict(toks)
-    val v = dict.count() + 1
+    val entries = dict.collect().map(r => r.getString(0) -> r.getLong(1))
+    val v = entries.length + 1L
     // shingle codes are tid-base-V numerals; minhash multiplies by ~1e9, so
     // V^3 * 1e9 must stay under 2^63 (ANSI). Larger vocabularies need a
     // modular polynomial hash instead of exact codes.
     require(v <= 2000, s"token vocabulary too large for exact shingle codes: $v")
-    val t = toks.join(broadcast(dict), "tok").select(col(id), col("pos"), col("tid"))
-    val t1 = t.as("t1"); val t2 = t.as("t2"); val t3 = t.as("t3")
-    t1.join(t2, col(s"t1.$id") === col(s"t2.$id") && col("t2.pos") === col("t1.pos") + 1)
-      .join(t3, col(s"t1.$id") === col(s"t3.$id") && col("t3.pos") === col("t1.pos") + 2)
-      .select(col(s"t1.$id").as(id),
-        (col("t1.tid") * lit(v * v) + col("t2.tid") * lit(v) + col("t3.tid")).as("shingle"))
+    val tidMap = map(entries.flatMap { case (t, i) => Seq(lit(t), lit(i)) }: _*)
+    docs
+      .select(col(id), transform(split(col(text), " "), t => element_at(tidMap, t)).as("tids"))
+      .select(col(id), explode(
+        // sequence(0, n) DESCENDS when n < 0, so guard short docs explicitly
+        when(size(col("tids")) >= 3,
+          transform(sequence(lit(0), size(col("tids")) - 3),
+            i => element_at(col("tids"), i + 1) * lit(v * v) +
+              element_at(col("tids"), i + 2) * lit(v) +
+              element_at(col("tids"), i + 3)))
+          .otherwise(array().cast("array<bigint>"))).as("shingle"))
       .distinct()
   }
 
