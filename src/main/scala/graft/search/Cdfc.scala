@@ -41,7 +41,12 @@ final case class CdfcConfig(
       UnaryOp.ImputeMean, UnaryOp.MDLP),
     binaryOps: Seq[BinOp] = Seq(BinOp.Add, BinOp.Mul),
     groupByAggs: Seq[AggKind] = Seq(AggKind.Mean, AggKind.Max, AggKind.Min, AggKind.Std),
-    stopAfterNonImproving: Int = 2)
+    stopAfterNonImproving: Int = 2,
+    /** Reference auto-stop for unbounded searches (`ComplexityDrivenFeature
+      * Construction.py:660-676`): after layer c > 2, stop when the harmonic
+      * mean of cumulative SimplicityScore and AccuracyScore of the champion
+      * two layers back dominates both later champions. */
+    harmonicStop: Boolean = false)
 
 final case class Scored(
     expr: FeatureExpr,
@@ -241,6 +246,19 @@ final class Cdfc(
       }
     }
 
+    // harmonic-mean auto-stop machinery (reference `:266-318`, over the
+    // cumulative per-complexity candidate buckets = our survivor pool)
+    def accuracyScore(score: Double, upTo: Int): Double = {
+      val pool = survivors.filter(_.complexity <= upTo)
+      if (pool.isEmpty) 0.0 else pool.count(_.score <= score).toDouble / pool.size
+    }
+    def simplicityScore(comp: Int, upTo: Int): Double = {
+      val pool = survivors.filter(_.complexity <= upTo)
+      if (pool.isEmpty) 0.0 else pool.count(_.complexity >= comp).toDouble / pool.size
+    }
+    def harmonicMean(a: Double, b: Double): Double =
+      if (a + b == 0) 0.0 else 2 * a * b / (a + b)
+
     // ---- layer loop --------------------------------------------------
     if (restored.isEmpty) {
       val t0 = System.nanoTime()
@@ -249,8 +267,12 @@ final class Cdfc(
     }
     var best = survivors.maxByOption(_.score)
     var nonImproving = 0
+    // champion (global best) snapshot after each layer, for harmonic stop
+    val bestAfterLayer = collection.mutable.HashMap[Int, Scored]()
+    best.foreach(b => bestAfterLayer(1) = b)
+    var harmonicStopHit = false
     var layer = restored.map(_.layer + 1).getOrElse(2)
-    while (layer <= cfg.cMax && nonImproving < cfg.stopAfterNonImproving) {
+    while (layer <= cfg.cMax && nonImproving < cfg.stopAfterNonImproving && !harmonicStopHit) {
       val t0 = System.nanoTime()
       val enumerated = enumerateLayer(layer, oneHots)
       val fresh = enumerated.filter { e =>
@@ -264,6 +286,18 @@ final class Cdfc(
       val newBest = survivors.maxByOption(_.score)
       if (newBest.map(_.score) == best.map(_.score)) nonImproving += 1
       else { nonImproving = 0; best = newBest }
+      newBest.foreach(b => bestAfterLayer(layer) = b)
+      if (cfg.harmonicStop && layer > 2) {
+        val hms = (0 to 2).map { hI =>
+          bestAfterLayer.get(layer - hI).map { ch =>
+            harmonicMean(
+              simplicityScore(ch.complexity, layer),
+              accuracyScore(ch.score, layer))
+          }.getOrElse(0.0)
+        }
+        // hms(2) = champion two layers back; dominance => stop
+        if (hms(2) >= hms(1) && hms(2) >= hms(0)) harmonicStopHit = true
+      }
       layer += 1
     }
 

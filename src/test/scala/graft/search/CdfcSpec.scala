@@ -67,6 +67,20 @@ class CdfcSpec extends SparkSpec {
     assert(res.survivors.count(_.passed) <= 2, res.survivors.mkString("\n"))
   }
 
+  test("harmonic-mean auto-stop halts an unbounded search before cMax") {
+    val df = spark.range(2000).select(
+      (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+      (pmod(xxhash64(col("id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"))
+      .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+    val res = new Cdfc(df, Seq("x1", "x2"), Nil, Nil, col("y"),
+      CdfcConfig(cMax = 8, harmonicStop = true, stopAfterNonImproving = 99,
+        binaryOps = Seq(BinOp.Mul), unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax),
+        groupByAggs = Seq.empty)).run()
+    val deepest = res.layers.map(_._1).maxOption.getOrElse(1)
+    assert(deepest < 8, s"expected auto-stop before cMax, layers=${res.layers}")
+    assert(res.best.score > 0.3) // still found the planted interaction
+  }
+
   test("transcripts pipeline produces stable feature block on sf0.001") {
     val out = FeatureConstructor.transcriptsPipeline(
       Transcripts.fromEvents(Tables.events(spark, sf0001)),
