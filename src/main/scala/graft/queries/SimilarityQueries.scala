@@ -20,6 +20,8 @@ object SimilarityQueries {
     }),
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), k = 5, nBits = 6)),
+    "q_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), k = 5, nlist = 16, nprobe = 4)),
     "q_near_dup" -> ((s, dir) =>
       Ann.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.9, nBits = 4))
   )

@@ -100,6 +100,44 @@ object Ann {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF (inverted-file) top-k: a coarse KMeans quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and scores exact cosine only inside them — the classic
+    * billion-scale ANN layout (quantizer is tiny and broadcast; the
+    * candidate join keys on cell id, so corpus rows shuffle once by cell).
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val e = withNorm(embeddings, id, vec)
+    val ve = e.withColumn("__v", org.apache.spark.ml.functions.array_to_vector(col(vec)))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(42L).setFeaturesCol("__v").setPredictionCol("cell")
+      .fit(ve)
+    val assigned = km.transform(ve).drop("__v")
+    val centers = km.clusterCenters.map(_.toArray)
+    // query-side: nprobe nearest cells by euclidean distance to centroids
+    def dist2(c: Array[Double]) =
+      aggregate(zip_with(col(vec), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(dist2(c).as("d"), lit(i).as("cell"))
+    }: _*)
+    val probes = assigned
+      .withColumn("__probe", slice(array_sort(cellDists), 1, nprobe))
+      .select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"),
+        explode(col("__probe.cell")).as("cell"))
+    val corpus = assigned.select(col(id).as("nid"), col(vec).as("cv"),
+      col("nrm").as("cn"), col("cell"))
+    probes.join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
     * restricted to LSH buckets.
     */

@@ -30,6 +30,21 @@ class AnnSpec extends SparkSpec {
     assert(planted.forall(_._3 >= 0.999999))
   }
 
+  test("ivfTopK: probing more cells recovers more of the brute-force top-5") {
+    val e = Tables.embeddings(spark, sf0001)
+    val brute = Ann.cosineTopK(e, e, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val narrow = Ann.ivfTopK(e, k = 5, nlist = 8, nprobe = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val wide = Ann.ivfTopK(e, k = 5, nlist = 8, nprobe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rNarrow = (brute & narrow).size.toDouble / brute.size
+    val rWide = (brute & wide).size.toDouble / brute.size
+    // probing ALL cells == brute force (exact recall); 1 cell is lossy
+    assert(rWide > 0.999, s"wide=$rWide")
+    assert(rNarrow < 1.0 && rNarrow > 0.05, s"narrow=$rNarrow")
+  }
+
   test("brute-force top-1 neighbor of a vector's scaled copy is that copy") {
     val e = Tables.embeddings(spark, sf0001).limit(20)
     val scaled = e.select((col("vec_id") + 500).as("vec_id"),
