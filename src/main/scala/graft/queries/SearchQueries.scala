@@ -34,7 +34,9 @@ object SearchQueries {
     "q_cdfc" -> ((s, dir) => {
       val out = FeatureConstructor.transcriptsPipeline(
         Transcripts.fromEvents(Tables.events(s, dir)),
-        CdfcConfig(cMax = 3, maxLayerWidth = 96, batchSize = 48))
+        // gate-sized: full search semantics, trimmed width so the
+        // correctness run stays fast at low --cpus
+        CdfcConfig(cMax = 3, maxLayerWidth = 64, batchSize = 64))
       val featCols = out.columns.filter(_.startsWith("feat_")).sorted.toSeq
       out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
         featCols.map(c => round(col(c), 6).as(c))): _*)
