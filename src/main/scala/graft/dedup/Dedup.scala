@@ -93,6 +93,28 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-duplicate pairs: band the 32-bit signature into four
+    * 8-bit bytes; by pigeonhole, any pair within hamming distance 3 shares
+    * at least one identical byte-band, so the candidate join on
+    * (band, byte) is lossless for maxHamming <= 3; exact popcount of the
+    * XOR filters candidates.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
+      id: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4 byte-bands only guarantee recall for hamming <= 3")
+    val banded = (0 until 4).map { b =>
+      sigs.select(col(id), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("byte"))
+    }.reduce(_ unionByName _)
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.byte") === col("r.byte") &&
+        col(s"l.$id") < col(s"r.$id"))
+      .select(col(s"l.$id").as("a"), col(s"r.$id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact shingle Jaccard for every pair sharing >= 1 (non-ubiquitous)
     * shingle; returns pairs with jaccard >= threshold.
     */

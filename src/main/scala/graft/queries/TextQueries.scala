@@ -40,6 +40,11 @@ object TextQueries {
       TextFeatures.simhash(t, TextFeatures.tokenDict(t))
     }),
 
+    "q_simhash_pairs" -> ((s, dir) => {
+      val t = TextFeatures.tokens(docs(s, dir))
+      Dedup.simhashPairs(TextFeatures.simhash(t, TextFeatures.tokenDict(t)))
+    }),
+
     "q_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(Dedup.shingles(docs(s, dir)))),
 
@@ -129,6 +134,29 @@ object TextQueries {
          |  SELECT doc_id, $bitSums
          |  FROM w GROUP BY doc_id)
          |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM agg""".stripMargin
+    },
+
+    "q_simhash_pairs" -> {
+      val bitSums = (0 until 32).map(b =>
+        s"SUM((((h >> $b) & 1) * 2 - 1)) AS s$b").mkString(",\n         ")
+      val sig = (0 until 32).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS byte FROM sh")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $tokCte,
+         |w AS (
+         |  SELECT t.doc_id, (d.tid * 2654435761) % 4294967296 AS h
+         |  FROM tok t JOIN dict d USING (tok)),
+         |agg AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM agg),
+         |banded AS (
+         |  $bands)
+         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         |       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |FROM banded l JOIN banded r
+         |  ON l.band = r.band AND l.byte = r.byte AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
     },
 
     "q_minhash" -> minhashSql(),
