@@ -1,5 +1,6 @@
 package graft
 
+import graft.exprs.PortableRound.col6
 import graft.search.{CdfcConfig, FeatureConstructor}
 import graft.transcripts.Transcripts
 import org.apache.spark.sql.functions._
@@ -15,7 +16,7 @@ object CdfcTimer {
       CdfcConfig(cMax = 3, maxLayerWidth = 96, batchSize = 48))
     val featCols = out.columns.filter(_.startsWith("feat_")).sorted.toSeq
     Bench.force(out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
-      featCols.map(c => round(col(c), 6).as(c))): _*))
+      featCols.map(c => col6(col(c)).as(c))): _*))
     println(f"[cdfc-timer] ${(System.nanoTime() - t0) / 1e9}%.1f s, ${featCols.size} features")
     spark.stop()
   }

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.exprs.PortableRound.col6
 import graft.text.TextFeatures
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -133,7 +134,7 @@ object Dedup {
       .join(sizes.withColumnRenamed(id, "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed(id, "b").withColumnRenamed("sz", "szb"), "b")
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")), 6))
+        col6(col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

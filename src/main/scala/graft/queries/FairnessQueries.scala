@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.exprs.PortableRound.col6
 import graft.Tables
 import graft.transcripts.Transcripts
 import graft.fairness.FairMetrics
@@ -30,22 +31,22 @@ object FairnessQueries {
     "q_rod" -> ((s, dir) => {
       val b = base(s, dir)
       FairMetrics.rod(b, col("p"), col("prot"), ctx)
-        .select(round(col("rod"), 6).as("rod"))
+        .select(col6(col("rod")).as("rod"))
     }),
     "q_cdp" -> ((s, dir) => {
       val b = base(s, dir)
       FairMetrics.cdp(b, col("pbin"), col("prot"), ctx)
-        .select(round(col("cdp"), 6).as("cdp"))
+        .select(col6(col("cdp")).as("cdp"))
     }),
     "q_ctpb" -> ((s, dir) => {
       val b = base(s, dir)
       FairMetrics.ctpb(b, col("ytrue"), col("pbin"), col("prot"), ctx)
-        .select(round(col("ctpb"), 6).as("ctpb"))
+        .select(col6(col("ctpb")).as("ctpb"))
     }),
     "q_ctnb" -> ((s, dir) => {
       val b = base(s, dir)
       FairMetrics.ctnb(b, col("ytrue"), col("pbin"), col("prot"), ctx)
-        .select(round(col("ctnb"), 6).as("ctnb"))
+        .select(col6(col("ctnb")).as("ctnb"))
     })
   )
 
@@ -81,7 +82,7 @@ object FairnessQueries {
        |         COUNT(DISTINCT prot) AS ns, SUM(n) AS nz
        |  FROM g GROUP BY role, tl_bin),
        |t AS (SELECT SUM(nz) AS total FROM piv)
-       |SELECT ROUND(SUM((mx - mn) * nz / total), 6) AS $out
+       |SELECT FLOOR(CAST((SUM((mx - mn) * nz / total)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS $out
        |FROM piv, t WHERE ns > 1 AND mx IS NOT NULL AND mn IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -101,7 +102,7 @@ object FairnessQueries {
          |  SELECT (COALESCE(p1_not, 0.5) / (1 - COALESCE(p1_not, 0.5))) *
          |         ((1 - COALESCE(p1_prot, 0.5)) / COALESCE(p1_prot, 0.5)) AS orv, nz
          |  FROM piv)
-         |SELECT ROUND(-ABS(SUM(orv * nz / total) - 1.0), 6) AS rod
+         |SELECT FLOOR(CAST((-ABS(SUM(orv * nz / total) - 1.0)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS rod
          |FROM ors, t WHERE orv = orv AND ABS(orv) < 1e308""".stripMargin,
     "q_cdp"  -> gapSql("CAST(pbin AS DOUBLE)", "TRUE", "cdp"),
     "q_ctpb" -> gapSql("CAST(pbin AS DOUBLE)", "ytrue = 1", "ctpb"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.exprs.PortableRound.col6
 import graft.Tables
 import graft.transcripts.Transcripts
 import graft.transforms.ColumnOps
@@ -20,7 +21,7 @@ object LegacyQueries {
     "q_encoders" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       ColumnOps.ordinalEncode(ev, "event_type", "et_ord")
-        .withColumn("et_freq", round(ColumnOps.frequencyEncode(col("event_type")), 6))
+        .withColumn("et_freq", col6(ColumnOps.frequencyEncode(col("event_type"))))
         .select("event_id", "et_ord", "et_freq")
     }),
 
@@ -28,7 +29,7 @@ object LegacyQueries {
       val li = Tables.lineitem(s, dir)
       li.select(
         col("l_orderkey"), col("l_linenumber"),
-        round(ColumnOps.rankAverage(col("l_extendedprice")), 6).as("price_rank"),
+        col6(ColumnOps.rankAverage(col("l_extendedprice"))).as("price_rank"),
         ColumnOps.quantileBucket(10, col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
           .cast("long").as("price_decile"))
     }),
@@ -39,7 +40,7 @@ object LegacyQueries {
       val mean = li.agg(avg(col("l_quantity"))).head().getDouble(0)
       li.select(
         col("l_orderkey"), col("l_linenumber"),
-        round(ColumnOps.winsorize(col("l_extendedprice"), b), 6).as("price_w"),
+        col6(ColumnOps.winsorize(col("l_extendedprice"), b)).as("price_w"),
         ColumnOps.binarize(col("l_quantity"), mean).as("qty_bin"))
     }),
 
@@ -69,13 +70,13 @@ object LegacyQueries {
         |t AS (SELECT COUNT(*) AS total FROM events),
         |f AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
         |SELECT e.event_id, d.et_ord,
-        |       ROUND(CAST(f.n AS DOUBLE) / t.total, 6) AS et_freq
+        |       FLOOR(CAST((CAST(f.n AS DOUBLE) / t.total) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS et_freq
         |FROM events e JOIN dict d USING (event_type) JOIN f USING (event_type), t""".stripMargin,
 
     "q_rank_quantile" ->
       """SELECT l_orderkey, l_linenumber,
-        |  ROUND(CAST(RANK() OVER (ORDER BY l_extendedprice) AS DOUBLE) +
-        |        (CAST(COUNT(*) OVER (PARTITION BY l_extendedprice) AS DOUBLE) - 1) / 2.0, 6) AS price_rank,
+        |  FLOOR(CAST((CAST(RANK() OVER (ORDER BY l_extendedprice) AS DOUBLE) +
+        |        (CAST(COUNT(*) OVER (PARTITION BY l_extendedprice) AS DOUBLE) - 1) / 2.0) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS price_rank,
         |  CAST(NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS price_decile
         |FROM lineitem""".stripMargin,
 
@@ -86,7 +87,7 @@ object LegacyQueries {
         |         AVG(l_quantity) AS mu
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber,
-        |  ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 6) AS price_w,
+        |  FLOOR(CAST((LEAST(GREATEST(l_extendedprice, lo), hi)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS price_w,
         |  CAST(CASE WHEN l_quantity > mu THEN 1 ELSE 0 END AS BIGINT) AS qty_bin
         |FROM lineitem, s""".stripMargin,
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.exprs.PortableRound.col6
 import graft.Tables
 import graft.transcripts.Transcripts
 import graft.profile.Profiler
@@ -39,7 +40,7 @@ object SearchQueries {
         CdfcConfig(cMax = 3, maxLayerWidth = 64, batchSize = 64))
       val featCols = out.columns.filter(_.startsWith("feat_")).sorted.toSeq
       out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
-        featCols.map(c => round(col(c), 6).as(c))): _*)
+        featCols.map(c => col6(col(c)).as(c))): _*)
     })
   )
 
@@ -69,7 +70,7 @@ object SearchQueries {
          |b AS (SELECT CAST(text_len AS DOUBLE) AS text_len, turn_pos, y FROM w WHERE nr IS NOT NULL),
          |${miSql("text_len")},
          |${miSql("turn_pos")}
-         |SELECT ROUND(text_len_mi.mi, 6) AS mi_text_len, ROUND(turn_pos_mi.mi, 6) AS mi_turn_pos
+         |SELECT FLOOR(CAST((text_len_mi.mi) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mi_text_len, FLOOR(CAST((turn_pos_mi.mi) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mi_turn_pos
          |FROM text_len_mi, turn_pos_mi""".stripMargin
   )
 }

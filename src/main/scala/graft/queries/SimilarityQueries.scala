@@ -39,9 +39,9 @@ object SimilarityQueries {
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
         |ranked AS (
         |  SELECT qid, nid, cos,
-        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, nid) AS rnk
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY FLOOR(CAST((cos) AS DOUBLE) * 1000000 + 0.5) / 1000000 DESC, nid) AS rnk
         |  FROM scored)
-        |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, ROUND(cos, 6) AS cos
+        |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, FLOOR(CAST((cos) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cos
         |FROM ranked WHERE rnk <= 5""".stripMargin
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.exprs.PortableRound.col6
 import graft.Tables
 import graft.text.TextFeatures
 import graft.dedup.Dedup
@@ -58,7 +59,7 @@ object TextQueries {
       Multimodal.extractFeatures(Multimodal.attachBinary(docs(s, dir))).toDF
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
-          col("frames").cast("long").as("frames"), round(col("decoded_mean"), 6).as("decoded_mean")))
+          col("frames").cast("long").as("frames"), col6(col("decoded_mean")).as("decoded_mean")))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -90,12 +91,12 @@ object TextQueries {
          |         SUM(CASE WHEN LENGTH(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
          |  FROM tok GROUP BY doc_id)
          |SELECT d.doc_id, CAST(LENGTH(d.text) AS DOUBLE) AS n_chars, a.n_tok AS n_tokens,
-         |  ROUND((LENGTH(d.text) - (a.n_tok - 1)) / CAST(a.n_tok AS DOUBLE), 6) AS mean_tok_len,
-         |  ROUND(a.n_stop / CAST(a.n_tok AS DOUBLE), 6) AS stop_ratio,
-         |  ROUND(a.n_short / CAST(a.n_tok AS DOUBLE), 6) AS short_ratio,
-         |  ROUND(LEAST(a.n_tok / 100.0, 1.0) * 0.4 +
+         |  FLOOR(CAST(((LENGTH(d.text) - (a.n_tok - 1)) / CAST(a.n_tok AS DOUBLE)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_tok_len,
+         |  FLOOR(CAST((a.n_stop / CAST(a.n_tok AS DOUBLE)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stop_ratio,
+         |  FLOOR(CAST((a.n_short / CAST(a.n_tok AS DOUBLE)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS short_ratio,
+         |  FLOOR(CAST((LEAST(a.n_tok / 100.0, 1.0) * 0.4 +
          |        (1.0 - a.n_stop / CAST(a.n_tok AS DOUBLE)) * 0.3 +
-         |        (1.0 - a.n_short / CAST(a.n_tok AS DOUBLE)) * 0.3, 6) AS quality
+         |        (1.0 - a.n_short / CAST(a.n_tok AS DOUBLE)) * 0.3) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS quality
          |FROM documents d JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_langid" -> {
@@ -184,7 +185,7 @@ object TextQueries {
          |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
          |  FROM fsh l JOIN fsh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
          |  GROUP BY l.doc_id, r.doc_id)
-         |SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         |SELECT a, b, FLOOR(CAST((CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS jaccard
          |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
          |            JOIN sizes sb ON inter.b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2""".stripMargin,
@@ -197,7 +198,7 @@ object TextQueries {
          |  CAST(LENGTH(text) % 640 + 1 AS BIGINT) AS width,
          |  CAST((LENGTH(text) * 7) % 480 + 1 AS BIGINT) AS height,
          |  CAST(LENGTH(text) % 30 + 1 AS BIGINT) AS frames,
-         |  ROUND(($meanTerms) / 16.0, 6) AS decoded_mean
+         |  FLOOR(CAST((($meanTerms) / 16.0) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS decoded_mean
          |FROM documents""".stripMargin
     }
   )

@@ -93,7 +93,7 @@ object TransformQueries {
     })
   )
 
-  private def round6(expr: String): String = s"ROUND(CAST($expr AS DOUBLE), 6)"
+  private def round6(expr: String): String = PortableRound.sql6(expr)
 
   val oracles: Map[String, String] = Map(
     "q_unary" ->

@@ -36,7 +36,7 @@ object VectorQueries {
          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
          |dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
          |SELECT tf.doc_id, tf.tok, tf.tf, dfx.df,
-         |       ROUND(tf.tf * (LN((n.nd + 1.0) / (dfx.df + 1.0)) + 1.0), 6) AS tfidf
+         |       FLOOR(CAST((tf.tf * (LN((n.nd + 1.0) / (dfx.df + 1.0)) + 1.0)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS tfidf
          |FROM tf JOIN dfx USING (tok), n""".stripMargin,
 
     "q_hashing_tf" ->

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.exprs.PortableRound.col6
 import graft.Tables
 import graft.transcripts.Transcripts
 import graft.windows.{AsOfJoin, WindowFeatures => WF}
@@ -36,7 +37,7 @@ object WindowQueries {
       val w = WF.convWindow()
       T(s, dir).select(
         col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-        round(WF.gapSecs(), 6).as("gap_secs"),
+        col6(WF.gapSecs()).as("gap_secs"),
         lag(col("role"), 1).over(w).as("prev_role"),
         lead(col("role"), 1).over(w).as("next_role"),
         lag(length(col("text")), 2).over(w).cast("long").as("prev2_len"))
@@ -46,7 +47,7 @@ object WindowQueries {
       val len = length(col("text")).cast("double")
       T(s, dir).select(
         col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-        round(WF.rollingRows(avg, len, 5), 6).as("roll5_mean_len"),
+        col6(WF.rollingRows(avg, len, 5)).as("roll5_mean_len"),
         WF.rollingRows(c => sum(c), length(col("text")).cast("long"), 3).as("roll3_sum_len"),
         WF.rollingTime(_ => count(lit(1)), lit(1), 1800L).cast("long").as("cnt_30m"))
     }),
@@ -72,12 +73,12 @@ object WindowQueries {
       val len = length(col("text")).cast("double")
       T(s, dir).select(
         col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-        round(WF.groupByThen(avg, len, col("conv_id")), 6).as("conv_mean_len"),
+        col6(WF.groupByThen(avg, len, col("conv_id"))).as("conv_mean_len"),
         WF.groupByThen(max, length(col("text")).cast("long"), col("conv_id")).as("conv_max_len"),
         WF.groupByThen(min, length(col("text")).cast("long"), col("conv_id")).as("conv_min_len"),
-        round(WF.groupByThen(stddev_samp, len, col("conv_id")), 6).as("conv_std_len"),
+        col6(WF.groupByThen(stddev_samp, len, col("conv_id"))).as("conv_std_len"),
         WF.groupByThen(c => count(c), len, col("conv_id")).cast("long").as("conv_cnt"),
-        round(WF.groupByThenAtOrBefore(avg, len), 6).as("run_mean_len"))
+        col6(WF.groupByThenAtOrBefore(avg, len)).as("run_mean_len"))
     }),
 
     "q_asof_join" -> ((s, dir) => asofResult(s, dir, skew = false)),
@@ -96,7 +97,7 @@ object WindowQueries {
       else AsOfJoin.asOf(left, right, "conv_id", Seq("pval"), col("event_id"))
     joined.select(
       col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-      round(col("pval"), 6).as("last_purchase"))
+      col6(col("pval")).as("last_purchase"))
   }
 
   private val asofSql: String =
@@ -114,7 +115,7 @@ object WindowQueries {
        |           PARTITION BY conv_id ORDER BY ts, side, seq
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
        |  FROM u)
-       |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, ROUND(lp, 6) AS last_purchase
+       |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, FLOOR(CAST((lp) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS last_purchase
        |FROM f WHERE side = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -127,7 +128,7 @@ object WindowQueries {
     "q_lag_lead" ->
       s"""$cte
          |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-         |       ROUND((epoch_us(ts) - LAG(epoch_us(ts)) OVER ($wSql)) / 1e6, 6) AS gap_secs,
+         |       FLOOR(CAST(((epoch_us(ts) - LAG(epoch_us(ts)) OVER ($wSql)) / 1e6) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gap_secs,
          |       LAG(role, 1) OVER ($wSql) AS prev_role,
          |       LEAD(role, 1) OVER ($wSql) AS next_role,
          |       CAST(LAG(LENGTH(text), 2) OVER ($wSql) AS BIGINT) AS prev2_len
@@ -136,10 +137,10 @@ object WindowQueries {
     "q_rolling" ->
       s"""$cte
          |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-         |       ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (
-         |         $wSql ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll5_mean_len,
-         |       SUM(CAST(LENGTH(text) AS BIGINT)) OVER (
-         |         $wSql ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_sum_len,
+         |       FLOOR(CAST((AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (
+         |         $wSql ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS roll5_mean_len,
+         |       CAST(SUM(CAST(LENGTH(text) AS BIGINT)) OVER (
+         |         $wSql ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_sum_len,
          |       CAST(COUNT(*) OVER (
          |         PARTITION BY conv_id ORDER BY epoch_us(ts)
          |         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_30m
@@ -167,20 +168,20 @@ object WindowQueries {
          |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
          |       LAST_VALUE(tool IGNORE NULLS) OVER (
          |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tool,
-         |       SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER (
-         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_turns_so_far
+         |       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tool_turns_so_far
          |FROM transcripts""".stripMargin,
 
     "q_groupby_then" ->
       s"""$cte
          |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
-         |       ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (PARTITION BY conv_id), 6) AS conv_mean_len,
+         |       FLOOR(CAST((AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (PARTITION BY conv_id)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_mean_len,
          |       MAX(CAST(LENGTH(text) AS BIGINT)) OVER (PARTITION BY conv_id) AS conv_max_len,
          |       MIN(CAST(LENGTH(text) AS BIGINT)) OVER (PARTITION BY conv_id) AS conv_min_len,
-         |       ROUND(STDDEV_SAMP(CAST(LENGTH(text) AS DOUBLE)) OVER (PARTITION BY conv_id), 6) AS conv_std_len,
+         |       FLOOR(CAST((STDDEV_SAMP(CAST(LENGTH(text) AS DOUBLE)) OVER (PARTITION BY conv_id)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_std_len,
          |       COUNT(*) OVER (PARTITION BY conv_id) AS conv_cnt,
-         |       ROUND(AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (
-         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_mean_len
+         |       FLOOR(CAST((AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS run_mean_len
          |FROM transcripts""".stripMargin,
 
     "q_asof_join" -> asofSql,

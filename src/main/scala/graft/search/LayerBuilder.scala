@@ -38,6 +38,16 @@ object LayerBuilder {
     var trees: Seq[(String, FeatureExpr)] = feats.map { case (n, e) => n -> Canon.canon(e) }
     var tmpId = 0
 
+    // Reference semantics are float64 throughout (candidates/Identity.py:2-5
+    // wraps every raw column in a numpy float array); DECIMAL-typed inputs
+    // would otherwise flow through Spark decimal arithmetic and diverge from
+    // any double-based oracle at ROUND half-way points. Cast at the leaf.
+    val decimalCols: Set[String] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+    }.toSet
+    val raw: String => Column =
+      n => if (decimalCols(n)) col(n).cast("double") else col(n)
+
     def needsJoin(e: FeatureExpr): Boolean = e match {
       case GroupByThenE(AggKind.Median, _, _) => true
       case GroupByThenE(_, _, _)              => preferJoin
@@ -74,9 +84,9 @@ object LayerBuilder {
       pending.groupBy(_.key).foreach { case (keyExpr, nodes) =>
         tmpId += 1
         val kName = s"__gbt_key_$tmpId"
-        cur = cur.withColumn(kName, Lower.toColumn(keyExpr, fit))
+        cur = cur.withColumn(kName, Lower.toColumn(keyExpr, fit, raw))
         val aggCols = nodes.zipWithIndex.map { case (g, i) =>
-          val v = Lower.toColumn(g.value, fit).cast("double")
+          val v = Lower.toColumn(g.value, fit, raw).cast("double")
           val a = g.agg match {
             case AggKind.Median => median(v)
             case AggKind.Mean   => avg(v)
@@ -90,8 +100,15 @@ object LayerBuilder {
           }
           a.as(s"__gbt_v_${tmpId}_$i")
         }
-        val grouped = cur.groupBy(col(kName)).agg(aggCols.head, aggCols.tail: _*)
-        cur = cur.join(broadcast(grouped), Seq(kName), "left")
+        // Null-safe join (<=>): the window path treats null keys as one
+        // partition, so the join-back path must aggregate-and-match them too
+        // (a USING join would leave null-keyed rows with null features).
+        // No broadcast hint: the aggregate side is |distinct keys| rows and
+        // AQE broadcasts it when it is actually small; a forced hint OOMs on
+        // high-cardinality keys (e.g. Median grouped by conv_id).
+        val kAgg = s"${kName}__agg"
+        val grouped = cur.groupBy(col(kName).as(kAgg)).agg(aggCols.head, aggCols.tail: _*)
+        cur = cur.join(grouped, col(kName) <=> col(kAgg), "left").drop(kAgg)
         nodes.zipWithIndex.foreach { case (g, i) =>
           val tmp = s"__gbt_v_${tmpId}_$i"
           trees = trees.map { case (n, t) => n -> substitute(t, g, RawCol(tmp)) }
@@ -102,8 +119,8 @@ object LayerBuilder {
     require(pending.isEmpty, "unresolved GroupByThen join nodes")
 
     val outCols = keys.map(col) ++ trees.map { case (n, e) =>
-      val c = Lower.toColumn(e, fit).cast("double")
-      (if (round6) round(c, 6) else c).as(n)
+      val c = Lower.toColumn(e, fit, raw).cast("double")
+      (if (round6) PortableRound.col6(c) else c).as(n)
     }
     cur.select(outCols: _*)
   }

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.exprs.PortableRound.col6
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,10 +50,10 @@ object Ann {
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     scored
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))))
+        Window.partitionBy(col("qid")).orderBy(col6(col("cos")).desc, col("nid"))))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
-        round(col("cos"), 6).as("cos"))
+        col6(col("cos")).as("cos"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim):
@@ -94,10 +95,10 @@ object Ann {
     cand.join(q, "qid").join(c, "nid")
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))))
+        Window.partitionBy(col("qid")).orderBy(col6(col("cos")).desc, col("nid"))))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
-        round(col("cos"), 6).as("cos"))
+        col6(col("cos")).as("cos"))
   }
 
   /** IVF (inverted-file) top-k: a coarse KMeans quantizer partitions the
@@ -132,10 +133,10 @@ object Ann {
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(round(col("cos"), 6).desc, col("nid"))))
+        Window.partitionBy(col("qid")).orderBy(col6(col("cos")).desc, col("nid"))))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
-        round(col("cos"), 6).as("cos"))
+        col6(col("cos")).as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
@@ -151,7 +152,7 @@ object Ann {
       .filter(col("a") < col("b"))
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") >= threshold)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .select(col("a"), col("b"), col6(col("cos")).as("cos"))
       .distinct()
   }
 }

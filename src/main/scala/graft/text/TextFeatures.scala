@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.exprs.PortableRound.col6
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,14 +44,14 @@ object TextFeatures {
       col(id),
       nChars.as("n_chars"),
       nTok.cast("long").as("n_tokens"),
-      round((nChars - (nTok - 1)) / nTok, 6).as("mean_tok_len"),
-      round(nStop / nTok, 6).as("stop_ratio"),
-      round(nShort / nTok, 6).as("short_ratio"),
+      col6((nChars - (nTok - 1)) / nTok).as("mean_tok_len"),
+      col6(nStop / nTok).as("stop_ratio"),
+      col6(nShort / nTok).as("short_ratio"),
       // quality: long enough, not stopword soup, not fragment soup
-      round(
+      col6(
         least(nTok / 100.0, lit(1.0)) * 0.4 +
           (lit(1.0) - nStop / nTok) * 0.3 +
-          (lit(1.0) - nShort / nTok) * 0.3, 6).as("quality"))
+          (lit(1.0) - nShort / nTok) * 0.3).as("quality"))
   }
 
   /** Stopword-lexicon language-ID heuristic: hit counts per language,

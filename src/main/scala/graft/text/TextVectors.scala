@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.exprs.PortableRound.col6
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +41,7 @@ object TextVectors {
     tf.join(broadcast(df), "tok")
       .withColumn("tfidf",
         col("tf") * (log((lit(nDocs + 1.0)) / (col("df") + 1.0)) + 1.0))
-      .select(col(id), col("tok"), col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+      .select(col(id), col("tok"), col("tf"), col("df"), col6(col("tfidf")).as("tfidf"))
   }
 
   /** Feature hashing (HashingTransformer): bucket counts over `numBuckets`
