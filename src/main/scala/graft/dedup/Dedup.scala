@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *    self-join (only pairs sharing >= 1 shingle are ever materialized —
   *    never a cross join)
   *
-  * All hashes are affine (a*x+b mod prime) over data-derived dictionary
-  * ids — deterministic and reproducible in any SQL engine.
+  * All hashes are affine (a*x+b mod prime) over portable row-local token
+  * hashes ([[TextFeatures.tokenHash]]) — deterministic, reproducible in any
+  * SQL engine, and independent of vocabulary size (no dictionary, no
+  * driver-side state).
   *
   * Scale notes: the inverted-index join keys on shingle code; hot shingles
   * (near-universal n-grams) are the skew risk — [[jaccardPairs]] drops
@@ -34,45 +36,39 @@ object Dedup {
       .withColumn("keep_id", min(col(id)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(text))))
       .select(col(id), col("keep_id"), (col(id) =!= col("keep_id")).cast("int").as("is_dup"))
 
-  /** (doc_id, shingle): 3-token shingle codes tid1*V^2 + tid2*V + tid3.
+  /** (doc_id, shingle): 3-token shingle codes — the modular polynomial
+    * ((t1*131 + t2) mod P * 131 + t3) mod P over the portable per-token
+    * hashes ([[TextFeatures.tokenHash]], P < 2^53 so t*131 fits in Long).
     *
-    * Plan shape: broadcast the token dictionary as a map expression, encode
-    * the token array to a tid array row-locally, and slide a 3-window over
-    * it with `transform` — NO self-joins (the naive 3-way positional join
-    * shuffles the token table three times; this shuffles nothing but the
-    * final distinct).
+    * Plan shape: hash the token array row-locally and slide a 3-window over
+    * it with `transform` — NO dictionary (no collect, no vocabulary bound),
+    * NO self-joins; nothing shuffles but the final distinct.
     */
   def shingles(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
-    val toks = TextFeatures.tokens(docs, id, text)
-    val dict = TextFeatures.tokenDict(toks)
-    val entries = dict.collect().map(r => r.getString(0) -> r.getLong(1))
-    val v = entries.length + 1L
-    // shingle codes are tid-base-V numerals; minhash multiplies by ~1e9, so
-    // V^3 * 1e9 must stay under 2^63 (ANSI). Larger vocabularies need a
-    // modular polynomial hash instead of exact codes.
-    require(v <= 2000, s"token vocabulary too large for exact shingle codes: $v")
-    val tidMap = map(entries.flatMap { case (t, i) => Seq(lit(t), lit(i)) }: _*)
+    val P53 = TextFeatures.P
     docs
-      .select(col(id), transform(split(col(text), " "), t => element_at(tidMap, t)).as("tids"))
+      .select(col(id),
+        transform(split(col(text), " "), t => TextFeatures.tokenHash(t)).as("tids"))
       .select(col(id), explode(
         // sequence(0, n) DESCENDS when n < 0, so guard short docs explicitly
         when(size(col("tids")) >= 3,
           transform(sequence(lit(0), size(col("tids")) - 3),
-            i => element_at(col("tids"), i + 1) * lit(v * v) +
-              element_at(col("tids"), i + 2) * lit(v) +
-              element_at(col("tids"), i + 3)))
+            i => pmod(pmod(element_at(col("tids"), i + 1) * lit(131L) +
+                element_at(col("tids"), i + 2), lit(P53)) * lit(131L) +
+              element_at(col("tids"), i + 3), lit(P53))))
           .otherwise(array().cast("array<bigint>"))).as("shingle"))
       .distinct()
   }
 
-  /** MinHash signature: k affine hashes over the shingle set.
+  /** MinHash signature: k affine hashes over the shingle set (shingle
+    * reduced mod P first so a*s + b stays inside Long under ANSI).
     * Output: (doc_id, mh_0..mh_{k-1}).
     */
   def minhashSignatures(sh: DataFrame, k: Int = 16, id: String = "doc_id"): DataFrame = {
     val aggs = (0 until k).map { i =>
       val a = 1103515245L * (i + 1) % P
       val b = 12345L * (i + 1) % P
-      min(pmod(col("shingle") * lit(a) + lit(b), lit(P))).as(s"mh_$i")
+      min(pmod(pmod(col("shingle"), lit(P)) * lit(a) + lit(b), lit(P))).as(s"mh_$i")
     }
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }

@@ -31,18 +31,63 @@ object SearchQueries {
         math.rint(st("turn_pos").mi * 1e6) / 1e6)).toDF("mi_text_len", "mi_turn_pos")
     }),
 
-    // Full CDFC search + transform on the transcripts pipeline (rows-only).
+    // Full CDFC search + transform on the transcripts pipeline. The search
+    // itself picks the features; the transform of the picked features IS
+    // SQL-expressible, so the query ALSO generates its own DuckDB oracle
+    // from the fitted model (SqlGen) — stashed for `oracles` below, which
+    // Verify reads after all queries ran.
     "q_cdfc" -> ((s, dir) => {
-      val out = FeatureConstructor.transcriptsPipeline(
-        Transcripts.fromEvents(Tables.events(s, dir)),
+      val base = FeatureConstructor.baseFeatures(
+        Transcripts.fromEvents(Tables.events(s, dir))).select(
+        "conv_id", "turn_idx", "text_len", "gap_secs", "roll5_mean_len",
+        "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool")
+      val model = FeatureConstructor.fit(base,
+        rawNumeric = Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
+        rawCategorical = Seq("role", "prev_role"),
+        groupKeys = Seq("conv_id"),
+        label = col("label_next_tool"),
         // gate-sized: full search semantics, trimmed width so the
         // correctness run stays fast at low --cpus
         CdfcConfig(cMax = 3, maxLayerWidth = 64, batchSize = 64))
+      val out = model.transform(base)
       val featCols = out.columns.filter(_.startsWith("feat_")).sorted.toSeq
+      cdfcOracle = Some(new SqlGen().render(
+        baseCte, "base",
+        Seq("conv_id", "CAST(turn_idx AS BIGINT) AS turn_idx"),
+        model.outputExprs.sortBy(_._1),
+        model.fit))
       out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
         featCols.map(c => col6(col(c)).as(c))): _*)
     })
   )
+
+  /** DuckDB CTE recomputing [[FeatureConstructor.baseFeatures]] (narrowed to
+    * the search's columns) from the events parquet — the level-0 relation
+    * of the generated q_cdfc oracle.
+    */
+  private val baseCte: String =
+    s"""${Transcripts.sqlCte},
+       |base AS (
+       |  SELECT * FROM (
+       |    SELECT conv_id, turn_idx,
+       |           CAST(LENGTH(text) AS DOUBLE) AS text_len,
+       |           (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1e6 AS gap_secs,
+       |           AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll5_mean_len,
+       |           AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_mean_len,
+       |           CAST(turn_idx AS DOUBLE) AS turn_pos,
+       |           role,
+       |           LAG(role) OVER w AS prev_role,
+       |           CAST(LEAD(role) OVER w = 'tool' AS INT) AS label_next_tool
+       |    FROM transcripts
+       |    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+       |  ) WHERE label_next_tool IS NOT NULL
+       |)""".stripMargin
+
+  /** Set by the q_cdfc query function when it runs (Verify runs every query
+    * before dumping oracle_sql.json, so the stash is populated in time; if
+    * q_cdfc did not run this JVM, the key is simply absent -> rows-only).
+    */
+  @volatile private var cdfcOracle: Option[String] = None
 
   private def miSql(feat: String): String =
     s"""${feat}_s AS (SELECT MIN($feat) AS lo, MAX($feat) AS hi FROM b),
@@ -58,7 +103,10 @@ object SearchQueries {
        |  SELECT SUM((n / t) * LN((n / t) / ((nb / t) * (ny / t)))) / MAX(hy) AS mi
        |  FROM ${feat}_cnt JOIN ${feat}_py USING (y) JOIN ${feat}_pb USING (bin), ${feat}_tot, ${feat}_hy)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    cdfcOracle.map("q_cdfc" -> _).toMap ++ staticOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "q_mi" ->
       s"""WITH ${Transcripts.sqlCte},
          |w AS (

@@ -31,20 +31,14 @@ object TextQueries {
         .select((col("doc_id") +: TextFeatures.Lexicons.map { case (l, _) => col(s"hits_$l") })
           :+ col("pred_lang"): _*)),
 
-    "q_fingerprint" -> ((s, dir) => {
-      val t = TextFeatures.tokens(docs(s, dir))
-      TextFeatures.fingerprint(t, TextFeatures.tokenDict(t))
-    }),
+    "q_fingerprint" -> ((s, dir) =>
+      TextFeatures.fingerprint(TextFeatures.hashedTokens(docs(s, dir)))),
 
-    "q_simhash" -> ((s, dir) => {
-      val t = TextFeatures.tokens(docs(s, dir))
-      TextFeatures.simhash(t, TextFeatures.tokenDict(t))
-    }),
+    "q_simhash" -> ((s, dir) =>
+      TextFeatures.simhash(TextFeatures.hashedTokens(docs(s, dir)))),
 
-    "q_simhash_pairs" -> ((s, dir) => {
-      val t = TextFeatures.tokens(docs(s, dir))
-      Dedup.simhashPairs(TextFeatures.simhash(t, TextFeatures.tokenDict(t)))
-    }),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(TextFeatures.simhash(TextFeatures.hashedTokens(docs(s, dir))))),
 
     "q_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(Dedup.shingles(docs(s, dir)))),
@@ -65,13 +59,17 @@ object TextQueries {
   // ---- oracle SQL ----------------------------------------------------
 
   private val tokCte =
-    """tok AS (
+    """tok0 AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents),
-      |dict AS (
-      |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
-      |  FROM (SELECT DISTINCT tok FROM tok))""".stripMargin
+      |tok AS (
+      |  SELECT doc_id, tok, pos,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 131 + b) % 9007199254740881) AS tid
+      |  FROM tok0)""".stripMargin
 
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
 
@@ -117,10 +115,10 @@ object TextQueries {
 
     "q_fingerprint" ->
       s"""WITH $tokCte
-         |SELECT t.doc_id,
-         |       CAST(SUM((d.tid * 2654435761 + t.pos * 40503) % $P) % $P AS BIGINT) AS fingerprint
-         |FROM tok t JOIN dict d USING (tok)
-         |GROUP BY t.doc_id""".stripMargin,
+         |SELECT doc_id,
+         |       CAST(SUM(((tid % 1000000007) * 2654435761 + pos * 40503) % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
+         |FROM tok
+         |GROUP BY doc_id""".stripMargin,
 
     "q_simhash" -> {
       val bitSums = (0 until 32).map(b =>
@@ -129,8 +127,8 @@ object TextQueries {
         s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
       s"""WITH $tokCte,
          |w AS (
-         |  SELECT t.doc_id, (d.tid * 2654435761) % 4294967296 AS h
-         |  FROM tok t JOIN dict d USING (tok)),
+         |  SELECT doc_id, ((tid % 1000000007) * 2654435761) % 4294967296 AS h
+         |  FROM tok),
          |agg AS (
          |  SELECT doc_id, $bitSums
          |  FROM w GROUP BY doc_id)
@@ -147,8 +145,8 @@ object TextQueries {
         .mkString("\n  UNION ALL\n  ")
       s"""WITH $tokCte,
          |w AS (
-         |  SELECT t.doc_id, (d.tid * 2654435761) % 4294967296 AS h
-         |  FROM tok t JOIN dict d USING (tok)),
+         |  SELECT doc_id, ((tid % 1000000007) * 2654435761) % 4294967296 AS h
+         |  FROM tok),
          |agg AS (SELECT doc_id, $bitSums FROM w GROUP BY doc_id),
          |sh AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM agg),
          |banded AS (
@@ -203,25 +201,23 @@ object TextQueries {
     }
   )
 
-  /** Shingle CTE shared by minhash/jaccard oracles (3-token codes over the
-    * dense dictionary; V = |dict| + 1).
+  /** Shingle CTE shared by minhash/jaccard oracles: the modular polynomial
+    * ((t1*131 + t2) mod P * 131 + t3) mod P over portable token hashes.
     */
   private def shingleSql(): String =
     s"""WITH $tokCte,
-       |v AS (SELECT MAX(tid) + 1 AS v FROM dict),
-       |tt AS (SELECT t.doc_id, t.pos, d.tid FROM tok t JOIN dict d USING (tok)),
        |sh AS (
-       |  SELECT DISTINCT t1.doc_id, t1.tid * v.v * v.v + t2.tid * v.v + t3.tid AS shingle
-       |  FROM tt t1
-       |  JOIN tt t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-       |  JOIN tt t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
-       |  CROSS JOIN v)""".stripMargin
+       |  SELECT DISTINCT t1.doc_id,
+       |         (((t1.tid * 131 + t2.tid) % $P) * 131 + t3.tid) % $P AS shingle
+       |  FROM tok t1
+       |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2)""".stripMargin
 
   private def minhashSql(cteOnly: Boolean = false): String = {
     val mins = (0 until 16).map { i =>
       val a = 1103515245L * (i + 1) % Dedup.P
       val b = 12345L * (i + 1) % Dedup.P
-      s"MIN((shingle * $a + $b) % ${Dedup.P}) AS mh_$i"
+      s"MIN(((shingle % ${Dedup.P}) * $a + $b) % ${Dedup.P}) AS mh_$i"
     }.mkString(",\n         ")
     val base =
       s"""${shingleSql()},

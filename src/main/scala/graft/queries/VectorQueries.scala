@@ -41,11 +41,15 @@ object VectorQueries {
 
     "q_hashing_tf" ->
       s"""WITH $tokCte,
-         |dict AS (
-         |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) AS tid
-         |  FROM (SELECT DISTINCT tok FROM tok))
-         |SELECT t.doc_id, ((d.tid * 2654435761) % 4294967296) % 64 AS bucket, COUNT(*) AS cnt
-         |FROM tok t JOIN dict d USING (tok)
-         |GROUP BY t.doc_id, bucket""".stripMargin
+         |h AS (
+         |  SELECT doc_id,
+         |         list_reduce(
+         |           list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |           (a, b) -> (a * 131 + b) % 9007199254740881) AS tid
+         |  FROM tok)
+         |SELECT doc_id, (((tid % 1000000007) * 2654435761) % 4294967296) % 64 AS bucket, COUNT(*) AS cnt
+         |FROM h
+         |GROUP BY doc_id, bucket""".stripMargin
   )
 }

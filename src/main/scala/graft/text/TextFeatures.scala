@@ -8,25 +8,52 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines:
   * token statistics, quality scoring, language-ID heuristic, document
   * fingerprinting, SimHash. Everything is whitespace-token based and
-  * engine-portable (no library hashes): token ids come from a data-derived
-  * dictionary (sorted distinct tokens, dense ids), so an independent SQL
-  * engine reproduces every value bit-for-bit.
+  * engine-portable (no library hashes): token ids are a DIRECT polynomial
+  * hash over the token's characters ([[tokenHash]]) — row-local, no
+  * dictionary to build, no driver collect, no vocabulary-size bound — and
+  * an independent SQL engine reproduces every value bit-for-bit
+  * (`list_reduce` over `string_split(tok, '')` in DuckDB).
   *
-  * Scale notes: the dictionary is a distinct-aggregate (map-side partial) of
-  * token-cardinality rows, broadcast back; per-document features are one
-  * explode + one groupBy(doc) — data shuffled is O(tokens), the unavoidable
-  * lower bound for order-sensitive token features.
+  * Scale notes: every feature here is one explode + one groupBy(doc) —
+  * data shuffled is O(tokens), the unavoidable lower bound for
+  * order-sensitive token features. Nothing depends on vocabulary size.
   */
 object TextFeatures {
 
   val P: Long = 9007199254740881L // largest prime < 2^53
+  val P9: Long = 1000000007L
+
+  /** Portable per-token hash: fold (acc*131 + codepoint) mod P over the
+    * token's characters. Row-local (scales to any vocabulary), identical in
+    * DuckDB: `list_reduce(list_prepend(0, list_transform(string_split(t,''),
+    * c -> ascii(c))), (a,b) -> (a*131+b) % P)`. acc < 2^53 so acc*131+cp
+    * stays well inside Long; collisions ~ |vocab|^2 / 2P (negligible below
+    * ~10^8 distinct tokens). NOTE: Spark splits into UTF-16 code units and
+    * DuckDB into codepoints, so parity holds for BMP text (all test data);
+    * supplementary-plane corpora would need a codepoint-exploding variant.
+    */
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      transform(split(tok, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, b) => pmod(acc * lit(131L) + b, lit(P)))
 
   /** (doc_id, tok, pos) — pos is 1-based within the document. */
   def tokens(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     docs.select(col(id), posexplode(split(col(text), " ")).as(Seq("pos0", "tok")))
       .select(col(id), col("tok"), (col("pos0") + 1).as("pos"))
 
-  /** Dense token dictionary: sorted distinct tokens -> ids 1..V. */
+  /** [[tokens]] plus the portable token-hash id `tid`. */
+  def hashedTokens(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    tokens(docs, id, text).withColumn("tid", tokenHash(col("tok")))
+
+  /** Dense token dictionary: sorted distinct tokens -> ids 1..V.
+    *
+    * SMALL-VOCABULARY USE ONLY (ordinal/categorical encoding of bounded
+    * domains): the dense-rank window is a global sort of the distinct
+    * values. The hash paths (fingerprint/simhash/shingles/hashingTf) use
+    * [[tokenHash]] instead and never build a dictionary.
+    */
   def tokenDict(toks: DataFrame): DataFrame =
     toks.select(col("tok")).distinct()
       .withColumn("tid", row_number().over(Window.orderBy(col("tok"))).cast("long"))
@@ -80,22 +107,25 @@ object TextFeatures {
       .otherwise(pred._2))
   }
 
-  /** Order-sensitive rolling document fingerprint over dictionary ids:
-    * fp = sum((tid * 2654435761 + pos * 40503) mod P) mod P.
+  /** Order-sensitive rolling document fingerprint over hashed token ids:
+    * fp = sum(((tid mod P9) * 2654435761 + pos * 40503) mod P9) mod P9.
+    * Input: [[hashedTokens]]. Terms stay < P9 (~1e9) so the pre-mod sum is
+    * exact for documents up to ~9e9 tokens under ANSI Long arithmetic.
     */
-  def fingerprint(toks: DataFrame, dict: DataFrame, id: String = "doc_id"): DataFrame =
-    toks.join(broadcast(dict), "tok")
+  def fingerprint(toks: DataFrame, id: String = "doc_id"): DataFrame =
+    toks
       .groupBy(col(id))
-      .agg(pmod(sum(pmod(col("tid") * lit(2654435761L) + col("pos") * lit(40503L), lit(P))), lit(P))
+      .agg(pmod(sum(pmod(pmod(col("tid"), lit(P9)) * lit(2654435761L)
+          + col("pos") * lit(40503L), lit(P9))), lit(P9))
         .as("fingerprint"))
 
-  /** 32-bit SimHash over dictionary-id token hashes
-    * (h = tid * 2654435761 mod 2^32; bit b set iff sum over tokens of
-    * (2*bit_b(h) - 1) > 0).
+  /** 32-bit SimHash over hashed token ids (input: [[hashedTokens]];
+    * h = (tid mod P9) * 2654435761 mod 2^32; bit b set iff sum over tokens
+    * of (2*bit_b(h) - 1) > 0).
     */
-  def simhash(toks: DataFrame, dict: DataFrame, id: String = "doc_id"): DataFrame = {
-    val h = pmod(col("tid") * lit(2654435761L), lit(4294967296L))
-    val withH = toks.join(broadcast(dict), "tok").withColumn("h", h)
+  def simhash(toks: DataFrame, id: String = "doc_id"): DataFrame = {
+    val h = pmod(pmod(col("tid"), lit(P9)) * lit(2654435761L), lit(4294967296L))
+    val withH = toks.withColumn("h", h)
     val bitSums = (0 until 32).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"s$b")
     }

@@ -45,15 +45,16 @@ object TextVectors {
   }
 
   /** Feature hashing (HashingTransformer): bucket counts over `numBuckets`
-    * via the portable dictionary hash (tid * 2654435761 mod 2^32 mod B).
+    * via the portable row-local token hash ((tid mod P9) * 2654435761
+    * mod 2^32 mod B) — no dictionary, no join, no vocabulary bound.
     */
   def hashingTf(docs: DataFrame, numBuckets: Int = 64, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val toks = TextFeatures.tokens(docs, id, text)
-    val dict = TextFeatures.tokenDict(toks)
-    toks.join(broadcast(dict), "tok")
+    val toks = TextFeatures.hashedTokens(docs, id, text)
+    toks
       .withColumn("bucket",
-        pmod(pmod(col("tid") * lit(2654435761L), lit(4294967296L)), lit(numBuckets.toLong)))
+        pmod(pmod(pmod(col("tid"), lit(TextFeatures.P9)) * lit(2654435761L),
+          lit(4294967296L)), lit(numBuckets.toLong)))
       .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 }

@@ -58,6 +58,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("hash paths build no dictionary: no global-order window, no broadcast") {
+    val docs = Tables.documents(spark, sf0001)
+    val toks = graft.text.TextFeatures.hashedTokens(docs)
+    for ((name, df) <- Seq(
+        "shingles" -> graft.dedup.Dedup.shingles(docs),
+        "fingerprint" -> graft.text.TextFeatures.fingerprint(toks),
+        "simhash" -> graft.text.TextFeatures.simhash(toks),
+        "hashingTf" -> graft.text.TextVectors.hashingTf(docs))) {
+      val p = plan(df)
+      // a dense dictionary would show up as a single-partition Window sort
+      // (Exchange SinglePartition + Window) or a broadcast join of the dict
+      assert(!p.contains("Window"), s"$name plans a window (dictionary?):\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$name broadcasts a dictionary:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name has a single-partition exchange:\n$p")
+    }
+  }
+
+  test("GroupByThen join-back: no forced broadcast on a high-cardinality key") {
+    import graft.exprs._
+    val t = Transcripts.fromEvents(Tables.events(spark, sf0001))
+      .select(col("conv_id"), col("turn_idx"), length(col("text")).cast("double").as("len"))
+    val out = graft.search.LayerBuilder.select(t, Seq("conv_id", "turn_idx"),
+      Seq("f_med" -> GroupByThenE(AggKind.Median, RawCol("len"), RawCol("conv_id"))))
+    // the ENGINE must not force a broadcast hint — whether the planner then
+    // picks a broadcast from size statistics (it does at test scale, and
+    // correctly would not at 10^9 groups) is the optimizer's call, which a
+    // forced hint would override
+    val logical = out.queryExecution.analyzed.toString()
+    assert(!logical.contains("ResolvedHint") && !logical.contains("UnresolvedHint"),
+      s"join-back must not force a broadcast hint:\n$logical")
+  }
+
   test("column pruning: text-length projection reads only needed columns") {
     val t = Tables.events(spark, sf0001).select(length(col("props")).as("l"))
     val p = plan(t)
