@@ -5,11 +5,35 @@ import graft.similarity.Ann
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Similarity-search queries over `embeddings`. Brute-force top-k is
-  * DuckDB-checked (list_dot_product); the LSH paths are rows-only here and
-  * recall-tested against brute force in AnnSpec.
+/** Similarity-search queries over `embeddings`.
+  *
+  *  - q_cosine_topk: brute-force top-k, DuckDB-checked (list_dot_product).
+  *  - q_ann_lsh: the LSH path has a FULL value oracle — the hyperplane
+  *    function is pure integer arithmetic, so the oracle SQL recomputes the
+  *    same buckets/candidates/cosines in DuckDB (plane components embedded
+  *    as literals).
+  *  - q_near_dup: the driver fixture has no pairs above cos 0.52, so the
+  *    query plants deterministic near-duplicates derived from the data
+  *    (vec_id % 5 == 0 gets a +0.03-per-dim perturbed copy at id+1000000,
+  *    cos ~ 0.97) — expressible identically in SQL, so the brute-force
+  *    cos >= 0.9 oracle pins both the planting and the LSH pair detection.
+  *  - q_ann_ivf stays rows-only (KMeans is not SQL-expressible);
+  *    q_ann_recall pins its recall vs brute force as a 1-row property.
   */
 object SimilarityQueries {
+
+  private val PlantEps = 0.03
+
+  /** embeddings ∪ planted near-duplicates (derived from the data itself —
+    * no external/synthesized inputs; same expression exists in the oracle).
+    */
+  private def withPlanted(e: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(PlantEps)).as("embedding"))
+    base.unionByName(planted)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> ((s, dir) => {
@@ -23,25 +47,98 @@ object SimilarityQueries {
     "q_ann_ivf" -> ((s, dir) =>
       Ann.ivfTopK(Tables.embeddings(s, dir), k = 5, nlist = 16, nprobe = 4)),
     "q_near_dup" -> ((s, dir) =>
-      Ann.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.9, nBits = 4))
+      Ann.nearDupPairs(withPlanted(Tables.embeddings(s, dir)), threshold = 0.9)),
+    // IVF recall vs brute force as a 1-row property (>= 0.6 with margin —
+    // measured 0.70-0.73 at the sf0.01 gate with nprobe=4/nlist=16; random
+    // unit vectors have weak top-5 neighbors, so this is the regime floor);
+    // the oracle is the literal truth row, so a recall regression turns
+    // this red.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = Ann.cosineTopK(e.filter(col("vec_id") < 50), e, k = 5)
+        .select(col("qid"), col("nid"))
+      val ivf = Ann.ivfTopK(e, k = 5, nlist = 16, nprobe = 4)
+        .filter(col("qid") < 50).select(col("qid"), col("nid"))
+      val total = brute.count().toDouble
+      val hit = brute.intersect(ivf).count().toDouble
+      import s.implicits._
+      Seq((if (hit / total >= 0.6) 1L else 0L)).toDF("ivf_recall_ok")
+    })
   )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val eCte =
+    """e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def pround(x: String): String =
+    s"FLOOR(CAST(($x) AS DOUBLE) * 1000000 + 0.5) / 1000000"
+
+  /** DuckDB replication of [[Ann.lshBucket]]: plane components embedded as
+    * exact literals (64 dims, matching the fixture embedding width).
+    */
+  private def bucketSql(nBits: Int, table: Int, dims: Int = 64): String =
+    (0 until nBits).map { b =>
+      val planes = (0 until dims)
+        .map(i => java.lang.Double.toString(Ann.planeValue(table * 64 + b, i)))
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $planes) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def lshOracle(k: Int, nBits: Int, tables: Int): String = {
+    val bucketRows = (0 until tables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(nBits, t)} AS bucket FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $eCte,
+       |b AS (
+       |  $bucketRows),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS qid, r.vec_id AS nid
+       |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+       |scored AS (
+       |  SELECT qid, nid, list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |  FROM cand JOIN e q ON cand.qid = q.vec_id JOIN e c ON cand.nid = c.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${pround("cos")} DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, ${pround("cos")} AS cos
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-        |  FROM e q, e c
-        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
-        |ranked AS (
-        |  SELECT qid, nid, cos,
-        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY FLOOR(CAST((cos) AS DOUBLE) * 1000000 + 0.5) / 1000000 DESC, nid) AS rnk
-        |  FROM scored)
-        |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, FLOOR(CAST((cos) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS cos
-        |FROM ranked WHERE rnk <= 5""".stripMargin
+      s"""WITH $eCte,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q, e c
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${pround("cos")} DESC, nid) AS rnk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, ${pround("cos")} AS cos
+         |FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q_ann_lsh" -> lshOracle(k = 5, nBits = 6, tables = 4),
+
+    "q_near_dup" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + $PlantEps) AS v
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |e AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM u)
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |       ${pround("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9""".stripMargin,
+
+    "q_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS ivf_recall_ok"
   )
 }

@@ -63,6 +63,12 @@ object Ann {
     (pmod((dim + 1) * lit(2654435761L) + lit(bit.toLong) * lit(40503L), lit(1009L))
       .cast("double") / 1009.0) - 0.5
 
+  /** Driver-side value of [[plane]] — used by the q_ann_lsh oracle generator
+    * to embed the identical hyperplanes as SQL literals.
+    */
+  def planeValue(bit: Int, dim: Int): Double =
+    (((dim + 1).toLong * 2654435761L + bit.toLong * 40503L) % 1009L).toDouble / 1009.0 - 0.5
+
   /** Sign-signature bucket id over nBits hyperplanes; `table` offsets the
     * hyperplane family so independent tables hash independently.
     */
@@ -140,19 +146,26 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
-    * restricted to LSH buckets.
+    * restricted to multi-table LSH buckets: a pair is a candidate when it
+    * shares a bucket in ANY of `tables` independent hyperplane families —
+    * miss probability decays as (1 - p^nBits)^tables, so 8 tables x 4 bits
+    * reaches ~1e-4 misses at cos 0.97 while each table's buckets stay small.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 6,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 4,
+      tables: Int = 8, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val e = withNorm(embeddings, id, vec)
-      .withColumn("bucket", lshBucket(col(vec), nBits))
-    val l = e.select(col(id).as("a"), col(vec).as("av"), col("nrm").as("an"), col("bucket"))
-    val r = e.select(col(id).as("b"), col(vec).as("bv"), col("nrm").as("bn"), col("bucket"))
-    l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
+    val buckets = (0 until tables).map { t =>
+      e.select(col(id), lit(t).as("tbl"), lshBucket(col(vec), nBits, t).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = buckets.as("l").join(buckets.as("r"), Seq("tbl", "bucket"))
+      .filter(col(s"l.$id") < col(s"r.$id"))
+      .select(col(s"l.$id").as("a"), col(s"r.$id").as("b"))
+      .distinct()
+    val l = e.select(col(id).as("a"), col(vec).as("av"), col("nrm").as("an"))
+    val r = e.select(col(id).as("b"), col(vec).as("bv"), col("nrm").as("bn"))
+    cand.join(l, "a").join(r, "b")
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col6(col("cos")).as("cos"))
-      .distinct()
   }
 }
