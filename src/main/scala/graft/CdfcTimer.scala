@@ -10,6 +10,25 @@ object CdfcTimer {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = ScalingBench.session(32)
+    // per-callsite job-time breakdown (search is job-count bound; this is
+    // the measurement loop for shaving jobs)
+    val jobTimes = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map { si =>
+          val d = si.details.linesIterator.filter(_.contains("graft.")).take(1).toSeq
+          if (d.nonEmpty) d.head.trim.replaceAll("^at ", "") else si.name
+        }.getOrElse("?")
+        starts.put(js.jobId, (site, System.nanoTime()))
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (site, t) = starts.getOrDefault(je.jobId, ("?", System.nanoTime()))
+        jobTimes.merge(site, (1L, System.nanoTime() - t),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    })
+    graft.search.Probe.enabled = true
     val t0 = System.nanoTime()
     val out = FeatureConstructor.transcriptsPipeline(
       Transcripts.fromEvents(Tables.events(spark, sfDir)),
@@ -18,6 +37,11 @@ object CdfcTimer {
     Bench.force(out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
       featCols.map(c => col6(col(c)).as(c))): _*))
     println(f"[cdfc-timer] ${(System.nanoTime() - t0) / 1e9}%.1f s, ${featCols.size} features")
+    import scala.jdk.CollectionConverters._
+    jobTimes.asScala.toSeq.sortBy(-_._2._2).foreach { case (site, (n, ns)) =>
+      println(f"[cdfc-timer]   $site%-40s jobs=$n%3d total=${ns / 1e9}%6.2f s")
+    }
+    graft.search.Probe.report().foreach(l => println(s"[cdfc-timer]   $l"))
     spark.stop()
   }
 }

@@ -46,7 +46,8 @@ sealed trait FeatureExpr {
     case ConstOne                         => "const(1.0)"
     case ConstVal(v)                      => s"const($v)"
     case ConcatE(cs)                      => cs.map(_.render).mkString("concat(", ",", ")")
-    case Unary(UnaryOp.EqualsStr(v), c)   => s"equals(${c.render},'$v')"
+    case Unary(UnaryOp.EqualsStr(v), c)   =>
+      s"equals(${c.render},'${FeatureExpr.escape(v)}')"
     case Unary(op, c)                     => s"${op.name}(${c.render})"
     case BinaryE(op, l, r)                => s"${op.name}(${l.render},${r.render})"
     case GroupByThenE(a, v, k)            => s"groupby_${a.name}(${v.render},${k.render})"
@@ -56,6 +57,26 @@ sealed trait FeatureExpr {
   def name: String = this match {
     case GroupByThenE(a, v, k) => s"(${a.name}(${v.name}) GroupByThen ${k.name})"
     case _                     => render
+  }
+}
+
+object FeatureExpr {
+  /** Escape a one-hot string value for [[FeatureExpr.render]] — data-derived
+    * categorical values may contain quotes/backslashes, which would
+    * otherwise break the render/parse round-trip (checkpoint resume) and
+    * collide distinct values to one canonical key.
+    */
+  def escape(v: String): String =
+    v.replace("\\", "\\\\").replace("'", "\\'")
+
+  def unescape(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == '\\' && i + 1 < v.length) { sb += v(i + 1); i += 2 }
+      else { sb += v(i); i += 1 }
+    }
+    sb.toString
   }
 }
 

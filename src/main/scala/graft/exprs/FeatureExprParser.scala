@@ -50,9 +50,14 @@ object FeatureExprParser {
         var done = false
         while (!done) {
           if (s(pos) == '\'') {
-            val end = s.indexOf('\'', pos + 1)
-            require(end > 0, s"unterminated string at $pos in: $s")
-            args :+= Right(s.substring(pos + 1, end))
+            // scan for the closing quote, honoring backslash escapes
+            var end = pos + 1
+            while (end < s.length && s(end) != '\'') {
+              if (s(end) == '\\') end += 1
+              end += 1
+            }
+            require(end < s.length, s"unterminated string at $pos in: $s")
+            args :+= Right(FeatureExpr.unescape(s.substring(pos + 1, end)))
             pos = end + 1
           } else {
             val (e, p) = parseExpr(s, pos)

@@ -72,6 +72,46 @@ object Profiler {
     (nums ++ cats).toMap
   }
 
+  /** Explode-based numeric-only profile for wide candidate batches: same
+    * results as [[profile]], but the F x 6 wide-agg expressions (which blow
+    * the codegen method limit for a 64-candidate batch and fall back to
+    * interpreted aggregation) become 6 aggregates grouped by fid.
+    */
+  def profileBatch(
+      df: DataFrame,
+      numericCols: Seq[(String, Column)]): Map[String, ColumnProfile] = {
+    if (numericCols.isEmpty) return Map.empty
+    val pairs = numericCols.zipWithIndex.map { case ((_, c), i) =>
+      struct(lit(i).as("fid"), c.cast("double").as("v"))
+    }
+    val v = col("v")
+    val rows = df.select(explode(array(pairs: _*)).as("fv"))
+      .select(col("fv.fid").as("fid"), col("fv.v").as("v"))
+      .groupBy(col("fid"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(when(v.isNull || isnan(v), 1)).as("miss"),
+        min(v).as("mn"),
+        max(v).as("mx"),
+        count(when(v === 0.0, 1)).as("zero"),
+        approx_count_distinct(v).as("dist"))
+      .collect()
+    val byFid = rows.map(r => r.getInt(r.fieldIndex("fid")) -> r).toMap
+    numericCols.zipWithIndex.map { case ((n, _), i) =>
+      val r = byFid(i)
+      def dbl(f: String): Double = {
+        val ix = r.fieldIndex(f)
+        if (r.isNullAt(ix)) Double.NaN else r.getDouble(ix)
+      }
+      n -> ColumnProfile(n, isNumeric = true,
+        count = r.getLong(r.fieldIndex("cnt")),
+        missing = r.getLong(r.fieldIndex("miss")),
+        min = dbl("mn"), max = dbl("mx"),
+        hasZero = r.getLong(r.fieldIndex("zero")) > 0,
+        distinct = r.getLong(r.fieldIndex("dist")))
+    }.toMap
+  }
+
   /** Distinct values of a categorical column on the fit scope, for OneHot
     * enumeration (`generators/OneHotGenerator.py:6-21`). Capped — a column
     * with more distinct values than `limit` is not one-hot-able.

@@ -37,10 +37,10 @@ object SearchQueries {
     // from the fitted model (SqlGen) — stashed for `oracles` below, which
     // Verify reads after all queries ran.
     "q_cdfc" -> ((s, dir) => {
-      val base = FeatureConstructor.baseFeatures(
+      val base = FeatureConstructor.snapshot(FeatureConstructor.baseFeatures(
         Transcripts.fromEvents(Tables.events(s, dir))).select(
         "conv_id", "turn_idx", "text_len", "gap_secs", "roll5_mean_len",
-        "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool")
+        "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool"))
       val model = FeatureConstructor.fit(base,
         rawNumeric = Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
         rawCategorical = Seq("role", "prev_role"),

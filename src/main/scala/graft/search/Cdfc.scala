@@ -105,27 +105,8 @@ final class Cdfc(
     }
 
     // ---- helpers -----------------------------------------------------
-    def enumerateLayer(cost: Int, oneHots: Seq[FeatureExpr]): Seq[FeatureExpr] = {
-      val unary = byComplexity(cost - 1).flatMap(p =>
-        cfg.unaryOps.map(op => Unary(op, p)))
-      val oh = if (cost == 2) oneHots else Seq.empty
-      val binary = for {
-        p <- 1 to (cost - 1) / 2
-        l <- byComplexity(p)
-        r <- byComplexity(cost - 1 - p)
-        op <- cfg.binaryOps
-        cand <- if (p == cost - 1 - p && l == r && !op.commutative) Nil
-                else Seq(BinaryE(op, l, r))
-      } yield cand
-      val gbt = for {
-        p <- 1 until cost - 1
-        v <- byComplexity(p)
-        k <- groupKeys
-        agg <- cfg.groupByAggs
-        if v.complexity + 1 + 1 == cost
-      } yield GroupByThenE(agg, v, RawCol(k))
-      unary ++ oh ++ binary ++ gbt
-    }
+    def enumerateLayer(cost: Int, oneHots: Seq[FeatureExpr]): Seq[FeatureExpr] =
+      Cdfc.enumerate(cost, byComplexity, oneHots, groupKeys, cfg)
 
     def applicable(e: FeatureExpr): Boolean = e match {
       case Unary(op: UnaryOp.Impute, ch) => ch.isInstanceOf[RawCol] &&
@@ -176,17 +157,17 @@ final class Cdfc(
         case BinaryE(BinOp.Add | BinOp.Sub, _, _)     => true
         case _                                        => false
       }
-      fit = Fitter.fit(df, toEval ++ inherit, known = fit, label = Some(label))
+      fit = Probe.time("fitter")(Fitter.fit(df, toEval ++ inherit, known = fit, label = Some(label)))
 
       toEval.grouped(cfg.batchSize).foreach { batch =>
         val named = batch.map(e => Lower.alias(e) -> e)
         // bin bounds: one profile agg per batch (runtime, not analytic —
         // analytic bounds are conservative and would skew the MI bins)
         val cols = named.map { case (n, e) => n -> Lower.toColumn(e, fit) }
-        val prof = Profiler.profile(df, cols.map { case (n, cc) => n -> cc })
+        val prof = Probe.time("profile")(Profiler.profileBatch(df, cols.map { case (n, cc) => n -> cc }))
         val lohi = prof.map { case (n, p) => n -> (p.min, p.max) }
-        val stats = MIScorer.scoreBatch(df, cols.map { case (n, cc) => n -> cc },
-          label, lohi, cfg.bins)
+        val stats = Probe.time("score")(MIScorer.scoreBatch(df, cols.map { case (n, cc) => n -> cc },
+          label, lohi, cfg.bins))
         named.foreach { case (n, e) =>
           val st = stats(n)
           val k = Canon.key(e)
@@ -270,6 +251,15 @@ final class Cdfc(
     // champion (global best) snapshot after each layer, for harmonic stop
     val bestAfterLayer = collection.mutable.HashMap[Int, Scored]()
     best.foreach(b => bestAfterLayer(1) = b)
+    // on resume, reconstruct per-layer champions from the restored
+    // survivors (champion after layer L = best score at complexity <= L) so
+    // the harmonic-stop decision after resume matches a fresh run
+    restored.foreach { st =>
+      (1 to st.layer).foreach { l =>
+        survivors.filter(_.complexity <= l).maxByOption(_.score)
+          .foreach(b => bestAfterLayer(l) = b)
+      }
+    }
     var harmonicStopHit = false
     var layer = restored.map(_.layer + 1).getOrElse(2)
     while (layer <= cfg.cMax && nonImproving < cfg.stopAfterNonImproving && !harmonicStopHit) {
@@ -304,4 +294,47 @@ final class Cdfc(
     val b = best.getOrElse(throw new IllegalStateException("no candidate survived"))
     CdfcResult(b, survivors.toSeq, layerLog.toSeq, fit)
   }
+}
+
+object Cdfc {
+  /** Layer enumeration, exposed for direct testing: all candidates of
+    * exactly `cost` nodes from the per-complexity pools.
+    */
+  def enumerate(
+      cost: Int,
+      byComplexity: Int => Vector[FeatureExpr],
+      oneHots: Seq[FeatureExpr],
+      groupKeys: Seq[String],
+      cfg: CdfcConfig): Seq[FeatureExpr] = {
+      val unary = byComplexity(cost - 1).flatMap(p =>
+        cfg.unaryOps.map(op => Unary(op, p)))
+      val oh = if (cost == 2) oneHots else Seq.empty
+      val binary = for {
+        p <- 1 to (cost - 1) / 2
+        l <- byComplexity(p)
+        r <- byComplexity(cost - 1 - p)
+        op <- cfg.binaryOps
+        // non-commutative ops need both operand orders (the reference's
+        // generate_merge enumerates ordered pairs, order_matters); when the
+        // complexity split is symmetric (p == cost-1-p) both orders already
+        // arise from the double iteration, so only the asymmetric split
+        // emits the reversed pair here. l==r non-commutative (x-x, x/x) is
+        // constant and skipped.
+        cand <- {
+          val fwd = if (p == cost - 1 - p && l == r && !op.commutative) Nil
+                    else Seq(BinaryE(op, l, r))
+          val rev = if (!op.commutative && p != cost - 1 - p) Seq(BinaryE(op, r, l))
+                    else Nil
+          fwd ++ rev
+        }
+      } yield cand
+      val gbt = for {
+        p <- 1 until cost - 1
+        v <- byComplexity(p)
+        k <- groupKeys
+        agg <- cfg.groupByAggs
+        if v.complexity + 1 + 1 == cost
+      } yield GroupByThenE(agg, v, RawCol(k))
+      unary ++ oh ++ binary ++ gbt
+    }
 }

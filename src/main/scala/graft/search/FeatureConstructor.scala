@@ -28,6 +28,26 @@ object FeatureConstructor {
     }
   }
 
+  /** Materialize a search base ONCE as a parquet snapshot and read it back.
+    *
+    * The search issues tens of aggregation-only jobs over the base; without
+    * this every job replays the derivation lineage (scan + window shuffle).
+    * `.persist(MEMORY_AND_DISK)` is measured ~5x SLOWER here (columnar
+    * cache build/decompress dominates); a parquet snapshot on the shuffle
+    * volume is a single write whose re-reads are plain columnar scans —
+    * measured a clear win once the per-job lineage costs more than ~0.5 s.
+    * At real scale the caller does exactly this with its lake storage.
+    */
+  def snapshot(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val root = spark.conf.getOption("spark.local.dir")
+      .map(_.split(",")(0))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = s"$root/graft_base_${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   def fit(
       df: DataFrame,
       rawNumeric: Seq[String],
@@ -35,7 +55,7 @@ object FeatureConstructor {
       groupKeys: Seq[String],
       label: Column,
       cfg: CdfcConfig = CdfcConfig()): FeatureModel = {
-    val res = new Cdfc(df, rawNumeric, rawCategorical, groupKeys, label, cfg).run()
+    val res = Probe.time("search")(new Cdfc(df, rawNumeric, rawCategorical, groupKeys, label, cfg).run())
     val passed = res.survivors.filter(_.passed)
     // Final block scaling (reference: union + global MinMaxScaler). A feature
     // already in [0,1] keeps its identity (the reference skip guard).
@@ -47,7 +67,7 @@ object FeatureConstructor {
       })
       if (needsScale) Canon.canon(Unary(UnaryOp.MinMax, s.expr)) else s.expr
     }
-    val fit2 = Fitter.fit(df, scaled, known = res.fit, label = Some(label))
+    val fit2 = Probe.time("final-fit")(Fitter.fit(df, scaled, known = res.fit, label = Some(label)))
     val named = scaled.zip(passed).map { case (e, s) => s"feat_${Lower.alias(s.expr)}" -> e }
     FeatureModel(passed, named, fit2, res)
   }
@@ -57,16 +77,13 @@ object FeatureConstructor {
     * whether the NEXT turn is a tool call.
     */
   def transcriptsPipeline(transcripts: DataFrame, cfg: CdfcConfig = CdfcConfig()): DataFrame = {
-    // project NARROW before the search: the search issues many jobs over
-    // the base; recomputing the window lineage per job is cheap only if the
-    // rows crossing its shuffle are slim (text etc. dropped). NOTE: do NOT
-    // .persist() here — measured reproducibly ~5x slower than lineage
-    // replay in this environment (236-328s vs 45-55s for the flagship
-    // search at sf0.1); the columnar cache build/read costs more than the
-    // narrow recompute.
-    val base = baseFeatures(transcripts).select(
+    // project NARROW, then snapshot: the search issues many jobs over the
+    // base, and a one-time parquet snapshot beats both lineage replay
+    // (window shuffle per job) and .persist() (measured ~5x slower than
+    // replay here — columnar cache build/read dominates).
+    val base = snapshot(baseFeatures(transcripts).select(
       "conv_id", "turn_idx", "text_len", "gap_secs", "roll5_mean_len",
-      "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool")
+      "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool"))
     val model = fit(base,
       rawNumeric = Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
       rawCategorical = Seq("role", "prev_role"),

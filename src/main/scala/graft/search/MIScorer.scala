@@ -42,35 +42,51 @@ object MIScorer {
       bins: Int = 10): Map[String, FeatureStats] = {
     if (feats.isEmpty) return Map.empty
     val y = label.cast("int")
-    val base = df.filter(y.isNotNull).select(
-      (feats.map { case (n, c) => c.cast("double").as(n) } :+ y.as("__y")): _*)
 
-    val aggs: Seq[Column] = feats.flatMap { case (n, _) =>
-      val c = col(n)
+    // Explode the batch to (fid, v, y) rows and aggregate per fid — a wide
+    // agg with F x (2*bins+7) aggregate expressions (~1700 for a 64-batch)
+    // blows the codegen method limit and falls back to interpreted Janino
+    // (measured ~9s/batch at sf0.1); the exploded groupBy keeps ~27 compact
+    // aggregates, map-side partial on |F| keys (~3x faster, same results).
+    val pairs = feats.zipWithIndex.map { case ((_, c), i) =>
+      struct(lit(i).as("fid"), c.cast("double").as("v"))
+    }
+    val loArr = typedLit(feats.map { case (n, _) => lohi(n)._1 })
+    val wArr = typedLit(feats.map { case (n, _) =>
       val (lo, hi) = lohi(n)
-      val w = if (hi > lo) (hi - lo) / bins else 1.0
-      // right-closed equi-width bin in [0, bins-1]; null/NaN -> bin `bins`
-      val bin = when(c.isNull || isnan(c), lit(bins)).otherwise(
-        least(greatest(ceil((c - lit(lo)) / lit(w)).cast("int") - 1, lit(0)), lit(bins - 1)))
+      if (hi > lo) (hi - lo) / bins else 1.0
+    })
+    val v = col("v")
+    // right-closed equi-width bin in [0, bins-1]; null/NaN -> bin `bins`
+    val binCol = when(v.isNull || isnan(v), lit(bins)).otherwise(
+      least(greatest(ceil((v - element_at(loArr, col("fid") + 1))
+        / element_at(wArr, col("fid") + 1)).cast("int") - 1, lit(0)), lit(bins - 1)))
+    val ex = df.filter(y.isNotNull)
+      .select(explode(array(pairs: _*)).as("fv"), y.as("__y"))
+      .select(col("fv.fid").as("fid"), col("fv.v").as("v"), col("__y"))
+      .withColumn("__bin", binCol)
+
+    val aggs: Seq[Column] =
       (0 to bins).flatMap { b =>
         Seq(
-          count(when(bin === b && col("__y") === 0, 1)).as(s"${n}__b${b}_0"),
-          count(when(bin === b && col("__y") === 1, 1)).as(s"${n}__b${b}_1"))
+          count(when(col("__bin") === b && col("__y") === 0, 1)).as(s"b${b}_0"),
+          count(when(col("__bin") === b && col("__y") === 1, 1)).as(s"b${b}_1"))
       } ++ Seq(
         // order-insensitive value fingerprint; bit_xor cannot overflow
         // (ANSI mode makes sum(long) throw at scale)
-        call_function("bit_xor", xxhash64(round(c, 6))).as(s"${n}__fp"),
-        approx_count_distinct(c).as(s"${n}__dist"),
-        min(c).as(s"${n}__min"),
-        max(c).as(s"${n}__max"),
-        count(when(c.isNull || isnan(c), 1)).as(s"${n}__miss"))
-    }
-    val row = base.agg(aggs.head, aggs.tail: _*).head()
+        call_function("bit_xor", xxhash64(round(v, 6))).as("fp"),
+        approx_count_distinct(v).as("dist"),
+        min(v).as("mn"),
+        max(v).as("mx"),
+        count(when(v.isNull || isnan(v), 1)).as("miss"))
+    val rows = ex.groupBy(col("fid")).agg(aggs.head, aggs.tail: _*).collect()
+    val byFid = rows.map(r => r.getInt(r.fieldIndex("fid")) -> r).toMap
 
-    feats.map { case (n, _) =>
+    feats.zipWithIndex.map { case ((n, _), i) =>
+      val row = byFid(i)
       val counts = (0 to bins).map { b =>
-        (row.getLong(row.fieldIndex(s"${n}__b${b}_0")),
-          row.getLong(row.fieldIndex(s"${n}__b${b}_1")))
+        (row.getLong(row.fieldIndex(s"b${b}_0")),
+          row.getLong(row.fieldIndex(s"b${b}_1")))
       }
       val total = counts.map(t => t._1 + t._2).sum.toDouble
       val py1 = counts.map(_._2).sum / total
@@ -82,16 +98,16 @@ object MIScorer {
         if (c1 > 0) { val p = c1 / total; mi += p * math.log(p / (pb * py1)) }
       }
       val hy = -Seq(py0, py1).filter(_ > 0).map(p => p * math.log(p)).sum
-      val fpIdx = row.fieldIndex(s"${n}__fp")
-      val mnIdx = row.fieldIndex(s"${n}__min")
-      val mxIdx = row.fieldIndex(s"${n}__max")
+      val fpIdx = row.fieldIndex("fp")
+      val mnIdx = row.fieldIndex("mn")
+      val mxIdx = row.fieldIndex("mx")
       n -> FeatureStats(
         mi = if (hy > 0) mi / hy else 0.0,
         fingerprint = if (row.isNullAt(fpIdx)) 0L else row.getLong(fpIdx),
-        distinct = row.getLong(row.fieldIndex(s"${n}__dist")),
+        distinct = row.getLong(row.fieldIndex("dist")),
         min = if (row.isNullAt(mnIdx)) Double.NaN else row.getDouble(mnIdx),
         max = if (row.isNullAt(mxIdx)) Double.NaN else row.getDouble(mxIdx),
-        missing = row.getLong(row.fieldIndex(s"${n}__miss")))
+        missing = row.getLong(row.fieldIndex("miss")))
     }.toMap
   }
 }

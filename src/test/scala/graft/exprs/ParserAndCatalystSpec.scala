@@ -32,6 +32,18 @@ class ParserAndCatalystSpec extends SparkSpec {
     gen(3)
   }
 
+  test("one-hot values with quotes and backslashes round-trip render/parse") {
+    for (v <- Seq("it's", "a'b'c", "back\\slash", "mix\\'ed", "'", "\\")) {
+      val e = Unary(UnaryOp.EqualsStr(v), RawCol("c"))
+      val parsed = FeatureExprParser.parse(e.render)
+      assert(parsed == e, s"value <$v> rendered ${e.render} parsed $parsed")
+    }
+    // distinct values must not collide to one canonical key
+    val k1 = Canon.key(Unary(UnaryOp.EqualsStr("a',b"), RawCol("c")))
+    val k2 = Canon.key(Unary(UnaryOp.EqualsStr("a"), RawCol("c")))
+    assert(k1 != k2)
+  }
+
   test("parser round-trips render for arbitrary expression trees") {
     (0 until 300).foreach { i =>
       val e = genExpr(Gen.Parameters.default, Seed(i.toLong)).get

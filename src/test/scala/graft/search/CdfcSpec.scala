@@ -8,6 +8,30 @@ import org.apache.spark.sql.functions._
 class CdfcSpec extends SparkSpec {
   import spark.implicits._
 
+  test("enumeration emits both operand orders for non-commutative ops") {
+    val x = RawCol("x")
+    val ohY = Unary(UnaryOp.EqualsStr("v"), RawCol("y")) // complexity 2
+    val pools = Map(1 -> Vector[FeatureExpr](x), 2 -> Vector[FeatureExpr](ohY))
+      .withDefaultValue(Vector.empty)
+    val cfg = CdfcConfig(binaryOps = Seq(BinOp.Sub, BinOp.Div, BinOp.Add))
+    val layer4 = Cdfc.enumerate(4, pools, Nil, Nil, cfg)
+    // asymmetric split (1, 2): both Sub orders must appear
+    assert(layer4.contains(BinaryE(BinOp.Sub, x, ohY)))
+    assert(layer4.contains(BinaryE(BinOp.Sub, ohY, x)))
+    assert(layer4.contains(BinaryE(BinOp.Div, x, ohY)))
+    assert(layer4.contains(BinaryE(BinOp.Div, ohY, x)))
+    // commutative ops are not duplicated
+    assert(layer4.count(_ == BinaryE(BinOp.Add, x, ohY)) == 1)
+    assert(!layer4.contains(BinaryE(BinOp.Add, ohY, x)))
+    // symmetric split (1, 1) at cost 3 already iterates both orders once
+    val x2 = RawCol("x2")
+    val pools2 = Map(1 -> Vector[FeatureExpr](x, x2)).withDefaultValue(Vector.empty)
+    val layer3 = Cdfc.enumerate(3, pools2, Nil, Nil, cfg)
+    assert(layer3.count(_ == BinaryE(BinOp.Sub, x, x2)) == 1)
+    assert(layer3.count(_ == BinaryE(BinOp.Sub, x2, x)) == 1)
+    assert(!layer3.contains(BinaryE(BinOp.Sub, x, x))) // x-x constant: skipped
+  }
+
   test("MI scorer: perfectly informative feature ~1, independent feature ~0") {
     val n = 2000
     val df = spark.range(n).select(
