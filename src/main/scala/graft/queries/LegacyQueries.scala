@@ -20,18 +20,57 @@ object LegacyQueries {
 
     "q_encoders" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      ColumnOps.ordinalEncode(ev, "event_type", "et_ord")
-        .withColumn("et_freq", col6(ColumnOps.frequencyEncode(col("event_type"))))
+      ColumnOps.frequencyEncode(
+        ColumnOps.ordinalEncode(ev, "event_type", "et_ord"),
+        col("event_type"), "__freq")
+        .withColumn("et_freq", col6(col("__freq")))
         .select("event_id", "et_ord", "et_freq")
     }),
 
     "q_rank_quantile" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      li.select(
+      val ranked = ColumnOps.rankAverage(li, col("l_extendedprice"), "__rank")
+      val dec = ColumnOps.quantileBucket(ranked, 10,
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        "price_decile")
+      dec.select(
         col("l_orderkey"), col("l_linenumber"),
-        col6(ColumnOps.rankAverage(col("l_extendedprice"))).as("price_rank"),
-        ColumnOps.quantileBucket(10, col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-          .cast("long").as("price_decile"))
+        col6(col("__rank")).as("price_rank"),
+        col("price_decile"))
+    }),
+
+    "q_numeric_residue" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val (n, h) = ColumnOps.rshParams(ev, col("value"))
+      residueParams = Some((n, h)) // oracle SQL embeds the same n/h literals
+      val pp = ColumnOps.plottingPositions(ev, col("value"), "__pp")
+      val tt = ColumnOps.trimtail(pp, col("value"), "__tt", p = 0.2)
+      // rsh band join over probe subset only — band density grows with sf
+      val rs = ColumnOps.rshWith(tt, col("value"), Seq("event_id"), "__rsh",
+        n, h, probe = Some(col("event_id") < 2000))
+      rs.filter(col("event_id") < 2000).select(col("event_id"),
+        col6(col("__pp")).as("pp"),
+        col6(col("__tt")).as("trimmed"),
+        col6(col("__rsh")).as("rsh"))
+    }),
+
+    "q_parsers" -> ((s, dir) => {
+      // parser INPUTS are derived deterministically from the events table
+      // (no external data); the same derivation exists in the oracle SQL
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        (col("value") % 180.0 - 90.0).as("lat"),
+        ((col("value") * 2.0) % 360.0 - 180.0).as("lon"),
+        concat(lit("("), lpad((col("event_id") % 900 + 100).cast("string"), 3, "0"),
+          lit(") 555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0")).as("phone_raw"),
+        concat((col("event_id") % 9999 + 1).cast("string"), lit(" Main Street Apt "),
+          (col("event_id") % 50).cast("string"), lit(", Springfield "),
+          lpad((col("event_id") % 100000).cast("string"), 5, "0")).as("addr_raw"))
+      val cart = ColumnOps.latLonCartesian(col("lat"), col("lon"))
+        .map { case (n, c) => col6(c).as(n) }
+      val phone = ColumnOps.parsePhone(col("phone_raw")).map { case (n, c) => c.as(n) }
+      val addr = ColumnOps.parseAddress(col("addr_raw")).map { case (n, c) => c.as(n) }
+      ev.select(col("event_id") +: (cart ++ phone ++ addr): _*)
     }),
 
     "q_winsorize" -> ((s, dir) => {
@@ -51,7 +90,69 @@ object LegacyQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** (n, h) from the q_numeric_residue run — the oracle embeds the same
+    * bandwidth literals (POW differs by ULPs across engines).
+    */
+  @volatile private var residueParams: Option[(Long, Double)] = None
+
+  private def dlit(v: Double): String = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+  private def pr(x: String): String =
+    s"FLOOR(CAST(($x) AS DOUBLE) * 1000000 + 0.5) / 1000000"
+
+  private def residueOracle(n: Long, h: Double): String = {
+    val cut = math.floor(0.2 * n).toLong
+    val denom = dlit(n + 1 - 0.4 - 0.4)
+    val rshDen = dlit(2.0 * n * h)
+    s"""WITH rk AS (
+       |  SELECT event_id, value,
+       |         CAST(RANK() OVER (ORDER BY value) AS DOUBLE) +
+       |           (CAST(COUNT(*) OVER (PARTITION BY value) AS DOUBLE) - 1) / 2.0 AS avg_rank,
+       |         COUNT(*) OVER (ORDER BY value) AS cum_end
+       |  FROM events),
+       |x AS (SELECT event_id, value, FLOOR(value / ${dlit(h)}) AS bk FROM events
+       |      WHERE event_id < 2000),
+       |v AS (SELECT value AS d, FLOOR(value / ${dlit(h)}) AS dbk FROM events),
+       |cnt AS (
+       |  SELECT x.event_id, COUNT(*) AS band
+       |  FROM x JOIN v ON v.dbk BETWEEN x.bk - 1 AND x.bk + 1
+       |              AND v.d >= x.value - ${dlit(h)} AND v.d <= x.value + ${dlit(h)}
+       |  GROUP BY x.event_id)
+       |SELECT rk.event_id,
+       |  ${pr(s"(avg_rank - 0.4) / $denom")} AS pp,
+       |  ${pr(s"CASE WHEN cum_end > $cut THEN value END")} AS trimmed,
+       |  ${pr(s"band / $rshDen")} AS rsh
+       |FROM rk JOIN cnt USING (event_id)
+       |WHERE rk.event_id < 2000""".stripMargin
+  }
+
+  def oracles: Map[String, String] =
+    staticOracles ++ residueParams.map { case (n, h) => "q_numeric_residue" -> residueOracle(n, h) }
+
+  private val staticOracles: Map[String, String] = Map(
+    "q_parsers" ->
+      s"""WITH e AS (
+         |  SELECT event_id,
+         |         value % 180.0 - 90.0 AS lat,
+         |         (value * 2.0) % 360.0 - 180.0 AS lon,
+         |         '(' || lpad(CAST(event_id % 900 + 100 AS VARCHAR), 3, '0') || ') 555-' ||
+         |           lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') AS phone_raw,
+         |         CAST(event_id % 9999 + 1 AS VARCHAR) || ' Main Street Apt ' ||
+         |           CAST(event_id % 50 AS VARCHAR) || ', Springfield ' ||
+         |           lpad(CAST(event_id % 100000 AS VARCHAR), 5, '0') AS addr_raw
+         |  FROM events),
+         |d AS (SELECT *, regexp_replace(phone_raw, '[^0-9]', '', 'g') AS digits FROM e)
+         |SELECT event_id,
+         |  ${pr("6371.230 * COS(RADIANS(lat)) * COS(RADIANS(lon))")} AS coord_x,
+         |  ${pr("6371.230 * COS(RADIANS(lat)) * SIN(RADIANS(lon))")} AS coord_y,
+         |  ${pr("6371.230 * SIN(RADIANS(lat))")} AS coord_z,
+         |  digits AS phone_digits,
+         |  substr(digits, 1, 3) AS phone_area,
+         |  right(digits, 4) AS phone_line,
+         |  regexp_extract(addr_raw, '^([0-9]+)', 1) AS addr_house,
+         |  regexp_extract(addr_raw, '^[0-9]+ ([A-Za-z]+ [A-Za-z]+)', 1) AS addr_street,
+         |  regexp_extract(addr_raw, '([0-9]{5})${"$"}', 1) AS addr_zip
+         |FROM d""".stripMargin,
+
     "q_dates" ->
       """SELECT o_orderkey,
         |  epoch_us(o_orderdate) AS ts_unix,

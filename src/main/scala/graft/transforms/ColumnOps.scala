@@ -44,10 +44,15 @@ object ColumnOps {
     df.join(broadcast(dict), Seq(c), "left")
   }
 
-  /** Frequency encoding: relative frequency of the value. */
-  def frequencyEncode(c: Column): Column =
-    count(lit(1)).over(Window.partitionBy(c)).cast("double") /
-      count(lit(1)).over(Window.partitionBy())
+  /** Frequency encoding: relative frequency of the value. The total is a
+    * driver scalar (one count job) — an empty-partition window for it would
+    * single-partition the whole table.
+    */
+  def frequencyEncode(df: DataFrame, c: Column, out: String): DataFrame = {
+    val total = df.count()
+    df.withColumn(out,
+      count(lit(1)).over(Window.partitionBy(c)).cast("double") / lit(total.toDouble))
+  }
 
   /** Helmert contrast coding (patsy convention over sorted levels): for
     * contrast j in 1..k-1, level index i (0-based):
@@ -83,21 +88,94 @@ object ColumnOps {
     df.withColumn(c, col(c).cast("string")).join(broadcast(dict), Seq(c), "left")
   }
 
-  // ---- numeric mappers -------------------------------------------------
+  // ---- scale-safe global ranks ----------------------------------------
 
-  /** scipy rankdata(method='average'): min-rank + (ties-1)/2, over a global
-    * ordering. NOTE: a global rank is inherently a single total order; at
-    * scale prefer percent_rank on a sampled sketch or avoid global ranks.
+  /** Deterministic range-bucket id for `c` from approx-quantile boundaries
+    * (a literal comparison chain — unlike repartitionByRange, whose
+    * RangePartitioner reseeds its sampler per JOB via the RDD id, so two
+    * actions over the same frame can disagree on partition bounds).
+    * Rows with equal `c` always share a bucket; nulls land in bucket 0.
     */
-  def rankAverage(c: Column): Column = {
-    val w = Window.orderBy(c)
-    rank().over(w).cast("double") +
-      (count(lit(1)).over(Window.partitionBy(c)).cast("double") - 1) / 2.0
+  private def rangeBucket(df: DataFrame, c: Column, parts: Int): Column = {
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val row = df.agg(percentile_approx(c.cast("double"), typedLit(probs), lit(10000))
+      .as("__b")).head()
+    val bounds =
+      if (row.isNullAt(0)) Seq.empty[Double]
+      else row.getSeq[Double](0).distinct
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(c.cast("double") > lit(b), 1).otherwise(0)
+    }
   }
 
-  /** Quantile bucket 1..n with deterministic tie-break columns. */
-  def quantileBucket(n: Int, order: Column*): Column =
-    ntile(n).over(Window.orderBy(order: _*))
+  /** Per-distinct-value rank table `(__v, __cnt, __cum)` where `__cum` is
+    * the number of rows strictly below the value. The global cumulative sum
+    * is computed WITHOUT a single-partition window: values get deterministic
+    * range buckets, each bucket cumsums locally under a per-bucket window,
+    * and per-bucket offsets (`parts` scalars) are added back.
+    * Nulls are excluded (null rank = null downstream).
+    */
+  def valueRanks(df: DataFrame, c: Column, parts: Int = 32): DataFrame = {
+    val bucket = rangeBucket(df, c, parts)
+    val vals = df.select(c.cast("double").as("__v"), bucket.as("__pid"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"), col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // per-bucket totals -> prefix offsets; `parts` scalars to the driver
+    val totals = vals.groupBy(col("__pid")).agg(sum(col("__cnt")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+    vals
+      .withColumn("__cum",
+        sum(col("__cnt")).over(w) - col("__cnt") +
+          coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
+      .select(col("__v"), col("__cnt"), col("__cum"))
+  }
+
+  /** scipy rankdata(method='average') as a whole-table op: min-rank +
+    * (ties-1)/2 = rows-below + (ties+1)/2, attached via a value join against
+    * [[valueRanks]] (hash join; AQE broadcasts the rank table when small).
+    */
+  def rankAverage(df: DataFrame, c: Column, out: String): DataFrame = {
+    val ranks = valueRanks(df, c)
+      .select(col("__v"), (col("__cum") + (col("__cnt") + 1) / lit(2.0)).as(out))
+    df.join(ranks, c.cast("double") <=> col("__v"), "left").drop("__v")
+  }
+
+  /** Global ordinal rank 1..N over a caller-supplied TOTAL order (supply
+    * tie-break columns). Range-partitioned two-pass, like [[valueRanks]].
+    */
+  def ordinalRank(df: DataFrame, orderCols: Seq[Column], out: String,
+      parts: Int = 32): DataFrame = {
+    // deterministic buckets on the FIRST order column (ties stay together;
+    // remaining order columns only break ties inside a bucket)
+    val ranged = df.withColumn("__pid", rangeBucket(df, orderCols.head, parts))
+    val totals = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    ranged
+      .withColumn(out,
+        row_number().over(w).cast("long") +
+          coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
+      .drop("__pid")
+  }
+
+  /** NTILE(n) over a total order, from the scale-safe ordinal rank (exact
+    * SQL NTILE semantics: the first N mod n buckets get one extra row).
+    */
+  def quantileBucket(df: DataFrame, n: Int, orderCols: Seq[Column],
+      out: String): DataFrame = {
+    val ranked = ordinalRank(df, orderCols, "__r")
+    val total = df.count()
+    val q = total / n; val m = total % n
+    val bucket = when(col("__r") <= lit(m * (q + 1)),
+        (col("__r") - 1) / lit(q + 1) + 1)
+      .otherwise(lit(m) + (col("__r") - lit(m * (q + 1)) - 1) / lit(q) + 1)
+    ranked.withColumn(out, bucket.cast("long")).drop("__r")
+  }
 
   /** Winsorize: clamp at the [p, 1-p] exact percentiles (fit = one agg). */
   def winsorizeBounds(df: DataFrame, c: Column, p: Double): (Double, Double) = {
@@ -112,4 +190,111 @@ object ColumnOps {
   /** Binarize at a fitted threshold (mean by default in the reference). */
   def binarize(c: Column, threshold: Double): Column =
     (c > lit(threshold)).cast("long")
+
+  // ---- numeric mapper residue (scipy.stats.mstats family) ---------------
+
+  /** mstats.plotting_positions(alpha=0.4, beta=0.4): (rank - alpha) /
+    * (n + 1 - alpha - beta) with AVERAGE ranks for ties (the reference's
+    * sort-position ranks are nondeterministic under ties; averaging is the
+    * deterministic refinement). Built on [[valueRanks]] — no global window.
+    */
+  def plottingPositions(df: DataFrame, c: Column, out: String,
+      alpha: Double = 0.4, beta: Double = 0.4): DataFrame = {
+    val n = df.filter(c.isNotNull).count()
+    val ranks = valueRanks(df, c).select(col("__v"),
+      ((col("__cum") + (col("__cnt") + 1) / lit(2.0)) - lit(alpha))
+        ./(lit(n + 1 - alpha - beta)).as(out))
+    df.join(ranks, c.cast("double") <=> col("__v"), "left").drop("__v")
+  }
+
+  /** mstats.trimtail(tail='left'): null out the lowest floor(p*n) values.
+    * Tie groups straddling the cut survive whole (the reference masks exact
+    * sorted positions, splitting ties arbitrarily; whole-group survival is
+    * the deterministic refinement). Built on [[valueRanks]].
+    */
+  def trimtail(df: DataFrame, c: Column, out: String, p: Double = 0.2): DataFrame = {
+    val n = df.filter(c.isNotNull).count()
+    val cut = math.floor(p * n).toLong
+    val ranks = valueRanks(df, c).select(col("__v"),
+      (col("__cum") + col("__cnt")).as("__cumEnd"))
+    df.join(ranks, c.cast("double") <=> col("__v"), "left")
+      .withColumn(out, when(col("__cumEnd") > cut, c.cast("double")))
+      .drop("__v", "__cumEnd")
+  }
+
+  /** mstats.rsh: Rosenblatt shifted-histogram density at each data point —
+    * rsh(x) = #{v : x-h <= v <= x+h} / (2*n*h), h = 1.2*IQR/n^(1/5) (exact
+    * quartiles stand in for the reference's idealfourths). The band count
+    * is a bucketized self-join (bucket width h, neighbors within +-1
+    * bucket) — never an all-pairs join, O(n * band density).
+    */
+  def rsh(df: DataFrame, c: Column, keyCols: Seq[String], out: String,
+      probe: Option[Column] = None): DataFrame = {
+    val (n, h) = rshParams(df, c)
+    rshWith(df, c, keyCols, out, n, h, probe)
+  }
+
+  /** The mstats.rsh bandwidth: (count, 1.2*IQR/n^(1/5)). Exposed so an
+    * oracle can embed the identical h as a literal (POW differs by ULPs
+    * across engines, which would flip band-boundary membership).
+    */
+  def rshParams(df: DataFrame, c: Column): (Long, Double) = {
+    val r = df.agg(
+      percentile(c.cast("double"), lit(0.25)).as("q1"),
+      percentile(c.cast("double"), lit(0.75)).as("q3"),
+      count(c).as("n")).head()
+    val n = r.getLong(2)
+    (n, if (n == 0) 0.0 else 1.2 * (r.getDouble(1) - r.getDouble(0)) / math.pow(n.toDouble, 0.2))
+  }
+
+  def rshWith(df: DataFrame, c: Column, keyCols: Seq[String], out: String,
+      n: Long, h: Double, probe: Option[Column] = None): DataFrame = {
+    if (h == 0.0 || n == 0)
+      return df.withColumn(out, lit(null).cast("double"))
+    val v = c.cast("double")
+    val probes0 = df.select(keyCols.map(col) :+ v.as("__x"): _*)
+    val probes = probe.fold(probes0)(probes0.filter)
+      .withColumn("__bk", floor(col("__x") / lit(h)))
+    val data = df.select(v.as("__d")).filter(col("__d").isNotNull)
+      .withColumn("__dbk", floor(col("__d") / lit(h)))
+    val cnt = probes.join(data,
+        col("__dbk") >= col("__bk") - 1 && col("__dbk") <= col("__bk") + 1 &&
+          col("__d") >= col("__x") - lit(h) && col("__d") <= col("__x") + lit(h))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__band"))
+    df.join(cnt, keyCols, "left")
+      .withColumn(out, col("__band").cast("double") / lit(2.0 * n * h))
+      .drop("__band")
+  }
+
+  // ---- parsers (lat/long, phone, address) -------------------------------
+  // Reference: model/.../parser/LatitudeLongitudeTransformer.py:15-24 (the
+  // cartesian formula, R = 6371.230); PhoneTransformer.py/AddressTransformer
+  // .py in the reference are copy-paste date parsers (dead code), so the
+  // regex extraction here implements what their names promise.
+
+  /** Lat/long (degrees) -> earth-cartesian (x, y, z), R = 6371.230 km. */
+  def latLonCartesian(lat: Column, lon: Column): Seq[(String, Column)] = {
+    val R = 6371.230
+    val la = radians(lat); val lo = radians(lon)
+    Seq(
+      "coord_x" -> lit(R) * cos(la) * cos(lo),
+      "coord_y" -> lit(R) * cos(la) * sin(lo),
+      "coord_z" -> lit(R) * sin(la))
+  }
+
+  /** Phone parsing: digit normalization + NANP area/line split. */
+  def parsePhone(c: Column): Seq[(String, Column)] = {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    Seq(
+      "phone_digits" -> digits,
+      "phone_area" -> substring(digits, 1, 3),
+      "phone_line" -> substring(digits, -4, 4))
+  }
+
+  /** Address parsing: house number, street name, 5-digit zip. */
+  def parseAddress(c: Column): Seq[(String, Column)] = Seq(
+    "addr_house" -> regexp_extract(c, "^([0-9]+)", 1),
+    "addr_street" -> regexp_extract(c, "^[0-9]+ ([A-Za-z]+ [A-Za-z]+)", 1),
+    "addr_zip" -> regexp_extract(c, "([0-9]{5})$", 1))
 }

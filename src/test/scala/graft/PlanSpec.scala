@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
       s"join-back must not force a broadcast hint:\n$logical")
   }
 
+  test("global rank plans have no single-partition exchange") {
+    val li = Tables.lineitem(spark, sf0001)
+    val ranked = graft.transforms.ColumnOps.rankAverage(li, col("l_extendedprice"), "r")
+    val p = plan(ranked)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"rankAverage must not plan a single-partition exchange:\n$p")
+    val dec = graft.transforms.ColumnOps.quantileBucket(li, 10,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), "d")
+    val p2 = plan(dec)
+    assert(!p2.contains("Exchange SinglePartition"),
+      s"quantileBucket must not plan a single-partition exchange:\n$p2")
+  }
+
   test("column pruning: text-length projection reads only needed columns") {
     val t = Tables.events(spark, sf0001).select(length(col("props")).as("l"))
     val p = plan(t)

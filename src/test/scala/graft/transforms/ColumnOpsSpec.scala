@@ -6,6 +6,49 @@ import org.apache.spark.sql.functions._
 class ColumnOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("scale-safe rankAverage/quantileBucket match single-partition window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val vs = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 3.0, 9.0, 1.0, 7.0, 4.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(4)
+    val got = ColumnOps.rankAverage(df, col("v"), "r")
+      .select("id", "r").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = df.withColumn("r",
+        rank().over(Window.orderBy(col("v"))).cast("double") +
+          (count(lit(1)).over(Window.partitionBy(col("v"))).cast("double") - 1) / 2.0)
+      .select("id", "r").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == ref)
+    val gotQ = ColumnOps.quantileBucket(df, 3, Seq(col("v"), col("id")), "q")
+      .select("id", "q").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refQ = df.withColumn("q", ntile(3).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "q").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotQ == refQ)
+  }
+
+  test("plotting positions, trimtail, rsh: hand-checked on a small sample") {
+    val vs = Seq(1.0, 2.0, 2.0, 3.0, 10.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val pp = ColumnOps.plottingPositions(df, col("v"), "pp")
+      .select("id", "pp").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // avg ranks: 1, 2.5, 2.5, 4, 5; pp = (r - .4) / (5 + .2)
+    assert(math.abs(pp(0L) - (1 - 0.4) / 5.2) < 1e-12)
+    assert(math.abs(pp(1L) - (2.5 - 0.4) / 5.2) < 1e-12)
+    assert(math.abs(pp(4L) - (5 - 0.4) / 5.2) < 1e-12)
+    // trimtail p=0.2: floor(0.2*5)=1 lowest value nulled
+    val tt = ColumnOps.trimtail(df, col("v"), "t", 0.2)
+      .select("id", "t").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tt(0L).isEmpty && tt(1L).nonEmpty && tt(4L).nonEmpty)
+    // rsh: band counts / (2nh) with h = 1.2*IQR/n^0.2
+    val (n, h) = ColumnOps.rshParams(df, col("v"))
+    assert(n == 5)
+    val rs = ColumnOps.rshWith(df, col("v"), Seq("id"), "rsh", n, h)
+      .select("id", "rsh").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def band(x: Double) = vs.count(v => v >= x - h && v <= x + h)
+    vs.zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(rs(i.toLong) - band(x) / (2.0 * n * h)) < 1e-12, s"x=$x")
+    }
+  }
+
   test("helmert coding: hand matrix for k=3 (levels a<b<c)") {
     val df = Seq("a", "b", "c", "b").toDF("g")
     val rows = ColumnOps.helmertEncode(df, "g", "h")
