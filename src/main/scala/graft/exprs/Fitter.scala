@@ -53,7 +53,11 @@ object Fitter {
       }
       require(readyAll.nonEmpty, s"fit cycle? pending=${pending.keys}")
       // supervised fits (MDLP): ONE batched histogram job for all nodes
-      val (mdlpReady, ready) = readyAll.partition(_._2.op == UnaryOp.MDLP)
+      val (mdlpReady, rest) = readyAll.partition(_._2.op == UnaryOp.MDLP)
+      // mode fits: ONE batched two-level job (Spark's mode() aggregate
+      // breaks ties nondeterministically; max_by over (count, -value) picks
+      // the SMALLEST most-frequent value — reproducible in any engine)
+      val (modeReady, ready) = rest.partition(_._2.op == UnaryOp.ImputeMode)
       if (mdlpReady.nonEmpty) {
         val y = label.getOrElse(throw new IllegalArgumentException(
           s"MDLP fit requires a label column (nodes: ${mdlpReady.keys})"))
@@ -62,7 +66,13 @@ object Fitter {
         }
         stats = stats ++ FitStats(graft.search.Mdlp.fitCutsBatch(fitDf, nodes, y))
       }
-      if (ready.isEmpty) { pending = pending -- mdlpReady.keys }
+      if (modeReady.nonEmpty) {
+        val nodes = modeReady.toSeq.map { case (key, u) =>
+          key -> Lower.toColumn(u.child, stats, raw).cast("double")
+        }
+        stats = stats ++ FitStats(modeBatch(fitDf, nodes))
+      }
+      if (ready.isEmpty) { pending = pending -- mdlpReady.keys -- modeReady.keys }
       else {
       val aggsAndDecode: Seq[(String, Seq[Column], org.apache.spark.sql.Row => IndexedSeq[Double])] =
         ready.toSeq.map { case (key, u) =>
@@ -85,9 +95,6 @@ object Fitter {
             case UnaryOp.ImputeMedian =>
               (key, Seq(median(c).as(s"${p}_a")),
                 (r: org.apache.spark.sql.Row) => IndexedSeq(dbl(r, s"${p}_a")))
-            case UnaryOp.ImputeMode =>
-              (key, Seq(mode(c).as(s"${p}_a")),
-                (r: org.apache.spark.sql.Row) => IndexedSeq(dbl(r, s"${p}_a")))
             case UnaryOp.DiscretizeQ(b) =>
               val qs = (1 until b).map(_.toDouble / b)
               (key, Seq(percentile(c, typedLit(qs)).as(s"${p}_q")),
@@ -103,10 +110,33 @@ object Fitter {
       val row = fitDf.agg(
         aggsAndDecode.flatMap(_._2).head, aggsAndDecode.flatMap(_._2).tail: _*).head()
       stats = stats ++ FitStats(aggsAndDecode.map { case (k, _, dec) => k -> dec(row) }.toMap)
-      pending = pending -- ready.keys -- mdlpReady.keys
+      pending = pending -- ready.keys -- mdlpReady.keys -- modeReady.keys
       }
     }
     require(pending.isEmpty, s"unfitted nodes after ${guard} passes: ${pending.keys}")
     stats
+  }
+
+  /** Deterministic batched mode fit: explode (nid, v) -> per-value counts ->
+    * per-nid argmax by (count, -value), i.e. the SMALLEST most-frequent
+    * value. Two map-side-combinable aggregations, no driver-side values.
+    */
+  private def modeBatch(df: DataFrame,
+      nodes: Seq[(String, Column)]): Map[String, IndexedSeq[Double]] = {
+    if (nodes.isEmpty) return Map.empty
+    val pairs = nodes.zipWithIndex.map { case ((_, c), i) =>
+      struct(lit(i).as("nid"), c.cast("double").as("v"))
+    }
+    val rows = df.select(explode(array(pairs: _*)).as("nv"))
+      .select(col("nv.nid").as("nid"), col("nv.v").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .groupBy(col("nid"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("nid"))
+      .agg(max_by(col("v"), struct(col("cnt"), -col("v"))).as("m"))
+      .collect()
+    val byNid = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    nodes.zipWithIndex.map { case ((k, _), i) =>
+      k -> IndexedSeq[Double](byNid.getOrElse(i, Double.NaN))
+    }.toMap
   }
 }

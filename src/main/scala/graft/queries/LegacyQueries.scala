@@ -54,6 +54,15 @@ object LegacyQueries {
         col6(col("__rsh")).as("rsh"))
     }),
 
+    "q_contrasts" -> ((s, dir) => {
+      // event_type has a stable 5-level domain across scale factors
+      val ev = Tables.events(s, dir)
+      val h = ColumnOps.helmertEncode(ev, "event_type", "h")
+      val b = ColumnOps.backwardDifferenceEncode(h, "event_type", "bd")
+      b.select(col("event_id") +:
+        ((1 to 4).map(j => col(s"h_$j")) ++ (1 to 4).map(j => col(s"bd_$j"))): _*)
+    }),
+
     "q_parsers" -> ((s, dir) => {
       // parser INPUTS are derived deterministically from the events table
       // (no external data); the same derivation exists in the oracle SQL
@@ -129,6 +138,20 @@ object LegacyQueries {
     staticOracles ++ residueParams.map { case (n, h) => "q_numeric_residue" -> residueOracle(n, h) }
 
   private val staticOracles: Map[String, String] = Map(
+    "q_contrasts" -> {
+      val k = 5
+      val hCols = (1 until k).map(j =>
+        s"CASE WHEN i < $j THEN -1.0 WHEN i = $j THEN CAST($j AS DOUBLE) ELSE 0.0 END AS h_$j")
+      val bdCols = (1 until k).map(j =>
+        s"CASE WHEN i < $j THEN -($k - $j) / $k.0 ELSE $j / $k.0 END AS bd_$j")
+      s"""WITH dict AS (
+         |  SELECT event_type, CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INT) AS i
+         |  FROM (SELECT DISTINCT event_type FROM events))
+         |SELECT e.event_id,
+         |  ${(hCols ++ bdCols).mkString(",\n  ")}
+         |FROM events e JOIN dict USING (event_type)""".stripMargin
+    },
+
     "q_parsers" ->
       s"""WITH e AS (
          |  SELECT event_id,

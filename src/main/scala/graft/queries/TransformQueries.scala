@@ -60,9 +60,26 @@ object TransformQueries {
     "q_impute" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("v", when(col("event_type") =!= "error", col("value")))
+        // mode needs a low-cardinality numeric with a unique winner; the
+        // deterministic tie-break (smallest most-frequent) guards the rest
+        .withColumn("vm", when(col("event_type") =!= "error",
+          floor(pmod(col("value"), lit(7.0))).cast("double")))
       sel(ev, Seq("event_id"), Seq(
         "f_imp_mean"   -> Unary(ImputeMean, RawCol("v")),
-        "f_imp_median" -> Unary(ImputeMedian, RawCol("v"))))
+        "f_imp_median" -> Unary(ImputeMedian, RawCol("v")),
+        "f_imp_mode"   -> Unary(ImputeMode, RawCol("vm"))))
+    }),
+
+    // Top-level MDLP decision: best boundary midpoint + accept verdict, the
+    // reference criterion (gain > (log2(N-1) + delta)/N) pinned against an
+    // independent SQL recomputation. The full fit is this decision applied
+    // recursively (MdlpSpec covers the recursion against hand oracles).
+    "q_mdlp_cut" -> ((s, dir) => {
+      import s.implicits._
+      val (cut, acc) = graft.search.Mdlp.topCut(li(s, dir),
+        col("l_quantity"), (col("l_returnflag") === "R").cast("int")).get
+      Seq((math.floor(cut * 1e6 + 0.5) / 1e6, if (acc) 1L else 0L))
+        .toDF("cut", "accepted")
     }),
 
     "q_onehot" -> ((s, dir) => {
@@ -139,11 +156,64 @@ object TransformQueries {
 
     "q_impute" ->
       s"""WITH e AS (
-         |  SELECT event_id, CASE WHEN event_type <> 'error' THEN value END AS v FROM events),
-         |s AS (SELECT AVG(v) AS mu, MEDIAN(v) AS md FROM e)
+         |  SELECT event_id, CASE WHEN event_type <> 'error' THEN value END AS v,
+         |         CASE WHEN event_type <> 'error' THEN CAST(FLOOR(value % 7.0) AS DOUBLE) END AS vm
+         |  FROM events),
+         |s AS (SELECT AVG(v) AS mu, MEDIAN(v) AS md FROM e),
+         |m AS (SELECT vm AS mo FROM (
+         |        SELECT vm, COUNT(*) AS c FROM e WHERE vm IS NOT NULL GROUP BY vm)
+         |      ORDER BY c DESC, vm ASC LIMIT 1)
          |SELECT event_id, ${round6("COALESCE(v, mu)")} AS f_imp_mean,
-         |       ${round6("COALESCE(v, md)")} AS f_imp_median
-         |FROM e, s""".stripMargin,
+         |       ${round6("COALESCE(v, md)")} AS f_imp_median,
+         |       ${round6("COALESCE(vm, mo)")} AS f_imp_mode
+         |FROM e, s, m""".stripMargin,
+
+    "q_mdlp_cut" -> {
+      def ent(a: String, b: String): String =
+        s"(-(CASE WHEN $a > 0 THEN ($a/($a+$b)) * (LN($a/($a+$b))/LN(2)) ELSE 0 END" +
+          s" + CASE WHEN $b > 0 THEN ($b/($a+$b)) * (LN($b/($a+$b))/LN(2)) ELSE 0 END))"
+      val r12 = (x: String) => s"FLOOR(($x) * 1e12 + 0.5) / 1e12"
+      s"""WITH h AS (
+         |  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y, COUNT(*) AS n
+         |  FROM lineitem GROUP BY 1, 2),
+         |pv AS (SELECT v, SUM(CASE WHEN y = 0 THEN n ELSE 0 END) AS n0,
+         |              SUM(CASE WHEN y = 1 THEN n ELSE 0 END) AS n1
+         |       FROM h GROUP BY v),
+         |s AS (SELECT v, n0, n1,
+         |             SUM(n0) OVER (ORDER BY v) AS c0, SUM(n1) OVER (ORDER BY v) AS c1,
+         |             LAG(n0) OVER (ORDER BY v) AS p0, LAG(n1) OVER (ORDER BY v) AS p1,
+         |             LAG(v) OVER (ORDER BY v) AS lv
+         |      FROM pv),
+         |tot AS (SELECT CAST(SUM(n0) AS DOUBLE) AS t0, CAST(SUM(n1) AS DOUBLE) AS t1 FROM pv),
+         |cand AS (
+         |  SELECT (lv + v) / 2.0 AS cut,
+         |         CAST(c0 - n0 AS DOUBLE) AS l0, CAST(c1 - n1 AS DOUBLE) AS l1, t0, t1
+         |  FROM s, tot
+         |  WHERE lv IS NOT NULL
+         |    AND (CASE WHEN p0 > 0 OR n0 > 0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN p1 > 0 OR n1 > 0 THEN 1 ELSE 0 END) > 1),
+         |g AS (
+         |  SELECT cut, l0, l1, t0 - l0 AS r0, t1 - l1 AS r1, t0 + t1 AS nt, t0, t1
+         |  FROM cand),
+         |sc AS (
+         |  SELECT cut, l0, l1, r0, r1, nt, t0, t1,
+         |         ${r12(s"${ent("t0", "t1")} - ((l0+l1)/nt) * ${ent("l0", "l1")}" +
+                     s" - ((r0+r1)/nt) * ${ent("r0", "r1")}")} AS gain
+         |  FROM g),
+         |best AS (SELECT * FROM sc ORDER BY gain DESC, cut ASC LIMIT 1),
+         |fin AS (
+         |  SELECT cut, gain,
+         |    ${r12(s"((LN(nt - 1)/LN(2))" +
+               s" + ((CASE WHEN t0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN t1 > 0 THEN 1 ELSE 0 END)) * (LN(3)/LN(2))" +
+               s" - ((CASE WHEN t0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN t1 > 0 THEN 1 ELSE 0 END)) * ${ent("t0", "t1")}" +
+               s" + ((CASE WHEN l0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN l1 > 0 THEN 1 ELSE 0 END)) * ${ent("l0", "l1")}" +
+               s" + ((CASE WHEN r0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN r1 > 0 THEN 1 ELSE 0 END)) * ${ent("r0", "r1")}) / nt")} AS thr
+         |  FROM best)
+         |SELECT FLOOR(cut * 1000000 + 0.5) / 1000000 AS cut,
+         |       CAST(CASE WHEN gain > thr THEN 1 ELSE 0 END AS BIGINT) AS accepted
+         |FROM fin""".stripMargin
+    },
 
     "q_onehot" ->
       s"""SELECT event_id,

@@ -150,6 +150,65 @@ object Mdlp {
     * closed at cuts), null/NaN -> -1; no accepted cuts -> constant 0
     * (dies in the search's constant prune, reference raises).
     */
+  /** The top-level Fayyad-Irani decision WITHOUT recursion: the best
+    * boundary midpoint over the full range and whether MDLP accepts it.
+    * Unlike the search's internal recursion (which keeps the reference's
+    * first-on-ties float compare), gains and the threshold are rounded to
+    * 1e-12 with the portable floor formula before comparison, so an
+    * independent SQL engine reproduces the choice bit-for-bit (log/entropy
+    * chains differ by ULPs across libm implementations).
+    */
+  def topCut(df: DataFrame, value: Column, label: Column): Option[(Double, Boolean)] = {
+    val hist = df
+      .filter(value.isNotNull && !isnan(value.cast("double")) && label.isNotNull)
+      .groupBy(value.cast("double").as("v"), label.cast("string").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2)))
+    if (hist.isEmpty) return None
+    val classes = hist.map(_._2).distinct.sorted
+    val k = classes.length
+    val cidx = classes.zipWithIndex.toMap
+    val values = hist.map(_._1).distinct.sorted
+    val vidx = values.zipWithIndex.toMap
+    val counts = Array.ofDim[Long](values.length, k)
+    hist.foreach { case (v, y, n) => counts(vidx(v))(cidx(y)) += n }
+    val prefix = Array.ofDim[Long](values.length + 1, k)
+    for (i <- values.indices; c <- 0 until k)
+      prefix(i + 1)(c) = prefix(i)(c) + counts(i)(c)
+    def rangeCounts(lo: Int, hi: Int): Array[Long] =
+      Array.tabulate(k)(c => prefix(hi)(c) - prefix(lo)(c))
+    def entropy(cc: Array[Long]): Double = {
+      val n = cc.sum.toDouble
+      if (n == 0) 0.0
+      else -cc.iterator.filter(_ > 0).map { x =>
+        val p = x / n; p * (math.log(p) / math.log(2))
+      }.sum
+    }
+    def r12(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+    val cc = rangeCounts(0, values.length)
+    val nTotal = cc.sum.toDouble
+    val eFull = entropy(cc)
+    val cands = (1 until values.length).filter { i =>
+      (0 until k).count(c => counts(i - 1)(c) > 0 || counts(i)(c) > 0) > 1
+    }
+    if (cands.isEmpty) return None
+    var bestI = -1
+    var bestGain = Double.NegativeInfinity
+    cands.foreach { i =>
+      val l = rangeCounts(0, i); val r = rangeCounts(i, values.length)
+      val gain = r12(eFull -
+        (l.sum / nTotal) * entropy(l) - (r.sum / nTotal) * entropy(r))
+      if (gain > bestGain) { bestGain = gain; bestI = i } // smallest cut on ties
+    }
+    val l = rangeCounts(0, bestI); val r = rangeCounts(bestI, values.length)
+    val kAll = cc.count(_ > 0); val kl = l.count(_ > 0); val kr = r.count(_ > 0)
+    val delta = kAll * (math.log(3) / math.log(2)) - kAll * eFull +
+      kl * entropy(l) + kr * entropy(r)
+    val threshold = r12(((math.log(nTotal - 1) / math.log(2)) + delta) / nTotal)
+    Some(((values(bestI - 1) + values(bestI)) / 2.0, bestGain > threshold))
+  }
+
   def binColumn(c: Column, cuts: IndexedSeq[Double]): Column =
     if (cuts.isEmpty) lit(0)
     else {
