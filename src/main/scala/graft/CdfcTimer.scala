@@ -37,6 +37,19 @@ object CdfcTimer {
     Bench.force(out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
       featCols.map(c => col6(col(c)).as(c))): _*))
     println(f"[cdfc-timer] ${(System.nanoTime() - t0) / 1e9}%.1f s, ${featCols.size} features")
+    val t1 = System.nanoTime()
+    val ekBase = FeatureConstructor.snapshot(FeatureConstructor.baseFeatures(
+      Transcripts.fromEvents(Tables.events(spark, sfDir))).select(
+      "conv_id", "turn_idx", "text_len", "gap_secs", "roll5_mean_len",
+      "run_mean_len", "turn_pos", "label_next_tool"))
+    val (ekTop, ekFit) = graft.search.ExploreKit.run(ekBase,
+      Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
+      Seq("conv_id"), col("label_next_tool"), k = 8,
+      graft.search.ExploreKit.EkConfig(maxCandidates = 128))
+    val ekNamed = ekTop.map(t => s"ek_${graft.exprs.Lower.alias(t.expr)}" -> t.expr)
+    Bench.force(graft.search.LayerBuilder.select(ekBase, Seq("conv_id", "turn_idx"), ekNamed, ekFit))
+    println(f"[cdfc-timer] explorekit ${(System.nanoTime() - t1) / 1e9}%.1f s")
+
     import scala.jdk.CollectionConverters._
     jobTimes.asScala.toSeq.sortBy(-_._2._2).foreach { case (site, (n, ns)) =>
       println(f"[cdfc-timer]   $site%-40s jobs=$n%3d total=${ns / 1e9}%6.2f s")

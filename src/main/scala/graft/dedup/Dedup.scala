@@ -75,14 +75,27 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature (bands x rowsPerBand = k),
     * bucket-join on (band index, band signature), dedup pairs (a < b).
+    *
+    * @param maxBucket hot-bucket cap: buckets with more members are dropped
+    *                  before the self-join (a bucket of m docs emits m^2/2
+    *                  pairs — one degenerate bucket at web scale quadratically
+    *                  dominates the job; near-identical docs it would have
+    *                  paired are still caught by the other bands/exact pass).
+    *                  None = exact (the oracle-checked configuration).
     */
   def lshCandidates(sigs: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
-      id: String = "doc_id"): DataFrame = {
-    val banded = (0 until bands).map { b =>
+      id: String = "doc_id", maxBucket: Option[Long] = None): DataFrame = {
+    val banded0 = (0 until bands).map { b =>
       val sig = concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").cast("string")): _*)
       sigs.select(col(id), lit(b).as("band"), sig.as("sig"))
     }.reduce(_ unionByName _)
+    val banded = maxBucket.fold(banded0) { m =>
+      // count window shares the (band, sig) partitioning with the join
+      banded0.withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+        .filter(col("__df") <= m).drop("__df")
+    }
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
         col(s"l.$id") < col(s"r.$id"))

@@ -28,30 +28,59 @@ object LegacyQueries {
     }),
 
     "q_rank_quantile" -> ((s, dir) => {
+      // both rank ops run from the RAW table (chaining would re-execute the
+      // first op's join inside every internal job of the second); the avg
+      // rank attaches via the per-VALUE table (unique per value — the row
+      // key is not unique in the fixture, so a key join would fan out)
       val li = Tables.lineitem(s, dir)
-      val ranked = ColumnOps.rankAverage(li, col("l_extendedprice"), "__rank")
-      val dec = ColumnOps.quantileBucket(ranked, 10,
+      val dec = ColumnOps.quantileBucket(li, 10,
         Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
         "price_decile")
-      dec.select(
-        col("l_orderkey"), col("l_linenumber"),
-        col6(col("__rank")).as("price_rank"),
-        col("price_decile"))
+      val ranks = ColumnOps.valueRanks(li, col("l_extendedprice"))
+        .select(col("__v"),
+          col6(col("__cum") + (col("__cnt") + 1) / lit(2.0)).as("price_rank"))
+      dec.join(ranks, col("l_extendedprice").cast("double") <=> col("__v"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("price_rank"), col("price_decile"))
     }),
 
     "q_numeric_residue" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val (n, h) = ColumnOps.rshParams(ev, col("value"))
       residueParams = Some((n, h)) // oracle SQL embeds the same n/h literals
+      // each op runs from the RAW table (chaining re-executes the previous
+      // op's join inside the next op's internal jobs); outputs join on key
       val pp = ColumnOps.plottingPositions(ev, col("value"), "__pp")
-      val tt = ColumnOps.trimtail(pp, col("value"), "__tt", p = 0.2)
+        .select(col("event_id"), col6(col("__pp")).as("pp"))
+      val tt = ColumnOps.trimtail(ev, col("value"), "__tt", p = 0.2)
+        .select(col("event_id"), col6(col("__tt")).as("trimmed"))
       // rsh band join over probe subset only — band density grows with sf
-      val rs = ColumnOps.rshWith(tt, col("value"), Seq("event_id"), "__rsh",
+      val rs = ColumnOps.rshWith(ev, col("value"), Seq("event_id"), "__rsh",
         n, h, probe = Some(col("event_id") < 2000))
-      rs.filter(col("event_id") < 2000).select(col("event_id"),
-        col6(col("__pp")).as("pp"),
-        col6(col("__tt")).as("trimmed"),
-        col6(col("__rsh")).as("rsh"))
+        .select(col("event_id"), col6(col("__rsh")).as("rsh"))
+      pp.filter(col("event_id") < 2000)
+        .join(tt, "event_id").join(rs, "event_id")
+        .select(col("event_id"), col("pp"), col("trimmed"), col("rsh"))
+    }),
+
+    // spark.ml-backed mappers are not SQL-expressible; pin them as 1-row
+    // properties (like q_ann_recall): the oracle is the literal truth row,
+    // so a regression turns the CORRECTNESS row red.
+    "q_ml_props" -> ((s, dir) => {
+      import s.implicits._
+      // bounded probe subset — the property does not need the full table,
+      // and two KMeans fits over it would dominate the bench
+      val ev = Tables.events(s, dir).filter(col("event_id") < 10000)
+      def wssse(k: Int): Double =
+        graft.transforms.MlOps.kmeansFeatures(ev, Seq("value"), k)
+          .agg(sum(pow(col("cluster_dist"), 2))).head().getDouble(0)
+      val kmeansOk = wssse(8) < wssse(2) // more cells => strictly less variance
+      val wv = graft.transforms.MlOps.avgWord2Vec(Tables.documents(s, dir), "text")
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("doc_vec"))
+      val bad = wv.filter(size(arr) =!= 16 ||
+        exists(arr, x => isnan(x) || x === Double.PositiveInfinity)).count()
+      val total = wv.count()
+      Seq((if (kmeansOk) 1L else 0L,
+        if (bad == 0 && total > 0) 1L else 0L)).toDF("kmeans_wssse_ok", "w2v_ok")
     }),
 
     "q_contrasts" -> ((s, dir) => {
@@ -138,6 +167,9 @@ object LegacyQueries {
     staticOracles ++ residueParams.map { case (n, h) => "q_numeric_residue" -> residueOracle(n, h) }
 
   private val staticOracles: Map[String, String] = Map(
+    "q_ml_props" ->
+      "SELECT CAST(1 AS BIGINT) AS kmeans_wssse_ok, CAST(1 AS BIGINT) AS w2v_ok",
+
     "q_contrasts" -> {
       val k = 5
       val hCols = (1 until k).map(j =>

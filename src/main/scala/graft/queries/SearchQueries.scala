@@ -17,6 +17,18 @@ object SearchQueries {
     FeatureConstructor.baseFeatures(
       Transcripts.fromEvents(Tables.events(s, dir)))
 
+  /** One narrow base snapshot per (session, dir) — q_cdfc and q_explorekit
+    * search over the same base; writing it twice would double the setup.
+    */
+  private val snapCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def searchBase(s: SparkSession, dir: String): DataFrame =
+    snapCache.getOrElseUpdate((s, dir),
+      FeatureConstructor.snapshot(FeatureConstructor.baseFeatures(
+        Transcripts.fromEvents(Tables.events(s, dir))).select(
+        "conv_id", "turn_idx", "text_len", "gap_secs", "roll5_mean_len",
+        "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Normalized binned MI of two fixed base features vs the label — the
     // scorer's exact arithmetic, one row out.
@@ -37,10 +49,7 @@ object SearchQueries {
     // from the fitted model (SqlGen) — stashed for `oracles` below, which
     // Verify reads after all queries ran.
     "q_cdfc" -> ((s, dir) => {
-      val base = FeatureConstructor.snapshot(FeatureConstructor.baseFeatures(
-        Transcripts.fromEvents(Tables.events(s, dir))).select(
-        "conv_id", "turn_idx", "text_len", "gap_secs", "roll5_mean_len",
-        "run_mean_len", "turn_pos", "role", "prev_role", "label_next_tool"))
+      val base = searchBase(s, dir)
       val model = FeatureConstructor.fit(base,
         rawNumeric = Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
         rawCategorical = Seq("role", "prev_role"),
@@ -58,6 +67,27 @@ object SearchQueries {
         model.fit))
       out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
         featCols.map(c => col6(col(c)).as(c))): _*)
+    }),
+
+    // ExploreKit one-shot traversal (reference Generator.py Fi->Fui->Foi->
+    // Foui) over the same transcripts base: top-8 by MI, transformed, with
+    // a SqlGen-generated DuckDB oracle like q_cdfc.
+    "q_explorekit" -> ((s, dir) => {
+      val base = searchBase(s, dir)
+      val (top, fit) = ExploreKit.run(base,
+        rawNumeric = Seq("text_len", "gap_secs", "roll5_mean_len", "run_mean_len", "turn_pos"),
+        groupKeys = Seq("conv_id"),
+        label = col("label_next_tool"),
+        k = 8,
+        ExploreKit.EkConfig(maxCandidates = 128))
+      val named = top.map(t => s"ek_${graft.exprs.Lower.alias(t.expr)}" -> t.expr).sortBy(_._1)
+      ekOracle = Some(new SqlGen().render(
+        baseCte, "base",
+        Seq("conv_id", "CAST(turn_idx AS BIGINT) AS turn_idx"),
+        named, fit))
+      val out = LayerBuilder.select(base, Seq("conv_id", "turn_idx"), named, fit)
+      out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
+        named.map { case (n, _) => col6(col(n)).as(n) }): _*)
     })
   )
 
@@ -83,11 +113,13 @@ object SearchQueries {
        |  ) WHERE label_next_tool IS NOT NULL
        |)""".stripMargin
 
-  /** Set by the q_cdfc query function when it runs (Verify runs every query
-    * before dumping oracle_sql.json, so the stash is populated in time; if
-    * q_cdfc did not run this JVM, the key is simply absent -> rows-only).
+  /** Set by the q_cdfc / q_explorekit query functions when they run (Verify
+    * runs every query before dumping oracle_sql.json, so the stash is
+    * populated in time; if a query did not run this JVM, its key is simply
+    * absent -> rows-only).
     */
   @volatile private var cdfcOracle: Option[String] = None
+  @volatile private var ekOracle: Option[String] = None
 
   private def miSql(feat: String): String =
     s"""${feat}_s AS (SELECT MIN($feat) AS lo, MAX($feat) AS hi FROM b),
@@ -104,7 +136,8 @@ object SearchQueries {
        |  FROM ${feat}_cnt JOIN ${feat}_py USING (y) JOIN ${feat}_pb USING (bin), ${feat}_tot, ${feat}_hy)""".stripMargin
 
   def oracles: Map[String, String] =
-    cdfcOracle.map("q_cdfc" -> _).toMap ++ staticOracles
+    cdfcOracle.map("q_cdfc" -> _).toMap ++
+      ekOracle.map("q_explorekit" -> _).toMap ++ staticOracles
 
   private val staticOracles: Map[String, String] = Map(
     "q_mi" ->

@@ -56,11 +56,18 @@ object MIScorer {
       val (lo, hi) = lohi(n)
       if (hi > lo) (hi - lo) / bins else 1.0
     })
+    val hiArr = typedLit(feats.map { case (n, _) => lohi(n)._2 })
     val v = col("v")
-    // right-closed equi-width bin in [0, bins-1]; null/NaN -> bin `bins`
-    val binCol = when(v.isNull || isnan(v), lit(bins)).otherwise(
-      least(greatest(ceil((v - element_at(loArr, col("fid") + 1))
-        / element_at(wArr, col("fid") + 1)).cast("int") - 1, lit(0)), lit(bins - 1)))
+    // right-closed equi-width bin in [0, bins-1]; null/NaN -> bin `bins`.
+    // The <=lo / >=hi short-circuits equal the ceil formula for finite
+    // values AND absorb +-Infinity (whose ceil->int cast throws under ANSI;
+    // infs arise from unguarded Div/Inv candidates in one-shot generators).
+    val binCol = when(v.isNull || isnan(v), lit(bins))
+      .when(v <= element_at(loArr, col("fid") + 1), lit(0))
+      .when(v >= element_at(hiArr, col("fid") + 1), lit(bins - 1))
+      .otherwise(
+        least(greatest(ceil((v - element_at(loArr, col("fid") + 1))
+          / element_at(wArr, col("fid") + 1)).cast("int") - 1, lit(0)), lit(bins - 1)))
     val ex = df.filter(y.isNotNull)
       .select(explode(array(pairs: _*)).as("fv"), y.as("__y"))
       .select(col("fv.fid").as("fid"), col("fv.v").as("v"), col("__y"))

@@ -87,11 +87,20 @@ object Ann {
     * only.
     */
   def lshTopK(embeddings: DataFrame, k: Int = 5, nBits: Int = 8, tables: Int = 4,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      maxBucket: Option[Long] = None): DataFrame = {
     val e = withNorm(embeddings, id, vec)
-    val buckets = (0 until tables).map { t =>
+    val buckets0 = (0 until tables).map { t =>
       e.select(col(id), lit(t).as("tbl"), lshBucket(col(vec), nBits, t).as("bucket"))
     }.reduce(_ unionByName _)
+    // hot-bucket cap: a degenerate bucket (e.g. the all-zeros region) emits
+    // m^2 candidates; cap it and let the other tables carry recall.
+    // None = exact (oracle-checked configuration).
+    val buckets = maxBucket.fold(buckets0) { m =>
+      buckets0.withColumn("__df", count(lit(1)).over(
+          Window.partitionBy(col("tbl"), col("bucket"))))
+        .filter(col("__df") <= m).drop("__df")
+    }
     val cand = buckets.as("l").join(buckets.as("r"), Seq("tbl", "bucket"))
       .select(col(s"l.$id").as("qid"), col(s"r.$id").as("nid"))
       .filter(col("qid") =!= col("nid"))

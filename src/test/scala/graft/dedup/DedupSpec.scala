@@ -16,6 +16,20 @@ class DedupSpec extends SparkSpec {
     assert(byDoc.getOrElse(4L, 0) == 1)
   }
 
+  test("hot-bucket cap drops degenerate LSH buckets; other bands keep recall") {
+    // 40 identical docs (one giant bucket in every band) + one near-dup pair
+    val docs = ((1L to 40L).map(i => (i, "the same giant cluster text body here")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+          (101L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(Dedup.shingles(docs))
+    val capped = Dedup.lshCandidates(sigs, maxBucket = Some(10)).collect()
+    // the 40-doc bucket (780 pairs) is dropped; the pair of 2 survives
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+    val uncapped = Dedup.lshCandidates(sigs).count()
+    assert(uncapped == 40L * 39 / 2 + 1)
+  }
+
   test("identical docs share all shingles; jaccard pairs find them at 1.0") {
     val docs = Seq((1L, "the fast cat runs home"), (2L, "the fast cat runs home"),
       (3L, "a totally different sentence here")).toDF("doc_id", "text")
