@@ -253,12 +253,17 @@ object ColumnOps {
       return df.withColumn(out, lit(null).cast("double"))
     val v = c.cast("double")
     val probes0 = df.select(keyCols.map(col) :+ v.as("__x"): _*)
+    // explode each probe to its 3 neighbor buckets so the join has an
+    // EQUALITY key (a pure range condition on the bucket ids plans as a
+    // BroadcastNestedLoopJoin = all-pairs); every data row is in exactly
+    // one bucket, so no candidate is double-counted
     val probes = probe.fold(probes0)(probes0.filter)
-      .withColumn("__bk", floor(col("__x") / lit(h)))
+      .withColumn("__bk0", floor(col("__x") / lit(h)))
+      .withColumn("__bk", explode(array(col("__bk0") - 1, col("__bk0"), col("__bk0") + 1)))
     val data = df.select(v.as("__d")).filter(col("__d").isNotNull)
       .withColumn("__dbk", floor(col("__d") / lit(h)))
     val cnt = probes.join(data,
-        col("__dbk") >= col("__bk") - 1 && col("__dbk") <= col("__bk") + 1 &&
+        col("__dbk") === col("__bk") &&
           col("__d") >= col("__x") - lit(h) && col("__d") <= col("__x") + lit(h))
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__band"))

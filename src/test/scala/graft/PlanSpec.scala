@@ -104,6 +104,15 @@ class PlanSpec extends SparkSpec {
       s"quantileBucket must not plan a single-partition exchange:\n$p2")
   }
 
+  test("rsh band join is an equi-join on bucket id, not a nested-loop") {
+    val ev = Tables.events(spark, sf0001)
+    val out = graft.transforms.ColumnOps.rshWith(
+      ev, col("value"), Seq("event_id"), "rsh", n = 1000L, h = 25.0)
+    val p = plan(out)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join must have an equality key:\n$p")
+  }
+
   test("column pruning: text-length projection reads only needed columns") {
     val t = Tables.events(spark, sf0001).select(length(col("props")).as("l"))
     val p = plan(t)
