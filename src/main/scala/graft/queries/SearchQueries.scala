@@ -88,8 +88,47 @@ object SearchQueries {
       val out = LayerBuilder.select(base, Seq("conv_id", "turn_idx"), named, fit)
       out.select((Seq(col("conv_id"), col("turn_idx").cast("long")) ++
         named.map { case (n, _) => col6(col(n)).as(n) }): _*)
+    }),
+
+    // Selector/sampling family over driver data, pinned as 1-row planted-
+    // signal properties (ml fits are not SQL-expressible; the oracle is the
+    // literal truth row, so a selection regression turns this red).
+    // x1 = value (drives the label), x2/x3 = deterministic noise.
+    "q_selectors" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = Tables.events(s, dir).filter(col("event_id") < 4000)
+      // data-driven thresholds (the value range varies with the id subset
+      // and scale factor): median for the label, 0.92-quantile for the
+      // imbalanced minority
+      val qs = ev0.agg(
+        percentile(col("value"), lit(0.5)).as("med"),
+        percentile(col("value"), lit(0.92)).as("hi")).head()
+      val (med, hi) = (qs.getDouble(0), qs.getDouble(1))
+      val ev = ev0.select(
+        col("event_id"),
+        col("value").as("x1"),
+        pmod(col("event_id") * 31, lit(17)).cast("double").as("x2"),
+        sin(col("event_id").cast("double")).as("x3"),
+        (col("value") > med).cast("double").as("y"))
+      val feats = Seq("x1", "x2", "x3")
+      val rfeOk = Selectors.rfe(ev, feats, "y", keep = 1) == Seq("x1")
+      val borutaSel = Selectors.boruta(ev, feats, "y", rounds = 3)
+      val borutaOk = borutaSel.contains("x1") && !borutaSel.contains("x3")
+      val reliefOk = Selectors.reliefF(ev, feats, "y", keep = 1, probes = 128) == Seq("x1")
+      val sissoOk = Selectors.sisso(ev, feats, "y", keep = 2).headOption.contains("x1")
+      // SMOTE to parity on an ~8% minority; CNN condenses two blobs
+      val imb = ev.withColumn("ym", (col("x1") > hi).cast("double"))
+      val sm = Sampling.smote(imb, Seq("x1", "x2"), "ym", minorityLabel = 1.0)
+        .groupBy("ym").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val smoteOk = sm(1.0).toDouble / sm(0.0) > 0.7
+      val protos = Sampling.condensedNearestNeighbour(imb, Seq("x1"), "ym")
+      val cnnOk = protos.count() < 200 && protos.select("ym").distinct().count() == 2
+      Seq((b2l(rfeOk), b2l(borutaOk), b2l(reliefOk), b2l(sissoOk), b2l(smoteOk), b2l(cnnOk)))
+        .toDF("rfe_ok", "boruta_ok", "relief_ok", "sisso_ok", "smote_ok", "cnn_ok")
     })
   )
+
+  private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
   /** DuckDB CTE recomputing [[FeatureConstructor.baseFeatures]] (narrowed to
     * the search's columns) from the events parquet — the level-0 relation
@@ -140,6 +179,11 @@ object SearchQueries {
       ekOracle.map("q_explorekit" -> _).toMap ++ staticOracles
 
   private val staticOracles: Map[String, String] = Map(
+    "q_selectors" ->
+      ("SELECT CAST(1 AS BIGINT) AS rfe_ok, CAST(1 AS BIGINT) AS boruta_ok, " +
+        "CAST(1 AS BIGINT) AS relief_ok, CAST(1 AS BIGINT) AS sisso_ok, " +
+        "CAST(1 AS BIGINT) AS smote_ok, CAST(1 AS BIGINT) AS cnn_ok"),
+
     "q_mi" ->
       s"""WITH ${Transcripts.sqlCte},
          |w AS (
