@@ -38,6 +38,24 @@ object StreamingFeatures {
         col("session_turns"), col("session_chars"),
         col("session_start"), col("session_end"))
 
+  /** Watermarked tumbling-window aggregates: turn counts + char sums per
+    * (conv_id, fixed event-time window) — the plain windowed-agg shape of
+    * the streaming bullet (session_window above covers the variable-length
+    * case). Late data beyond `watermark` is dropped deterministically.
+    */
+  def tumblingAggregates(
+      turns: DataFrame,
+      width: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(col("conv_id"), window(col("ts"), width).as("w"))
+      .agg(
+        count(lit(1)).as("turns"),
+        sum(length(col("text")).cast("long")).as("chars"))
+      .select(col("conv_id"), col("w.start").as("window_start"),
+        col("turns"), col("chars"))
+
   final case class ConvState(
       lastTsMicros: Long,
       turnCount: Long,

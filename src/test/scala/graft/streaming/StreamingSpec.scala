@@ -71,4 +71,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamSessions == batchSessions)
   }
+
+  test("tumbling-window aggregates: streaming == batch groupBy(window) exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val turns = batchTurns.as[Turn].collect().toIndexedSeq
+    val stream = MemoryStream[Turn]
+    val q = StreamingFeatures.tumblingAggregates(stream.toDS().toDF(), "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    stream.addData(turns)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = batchTurns
+      .groupBy(col("conv_id"), window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("turns"), sum(length(col("text")).cast("long")).as("chars"))
+      .select(col("conv_id"), col("w.start").as("window_start"), col("turns"), col("chars"))
+      .collect().map(_.toSeq).toSet
+    val streamed = spark.table("tumbling").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
