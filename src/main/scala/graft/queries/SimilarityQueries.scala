@@ -44,8 +44,16 @@ object SimilarityQueries {
     }),
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), k = 5, nBits = 6)),
-    "q_ann_ivf" -> ((s, dir) =>
-      Ann.ivfTopK(Tables.embeddings(s, dir), k = 5, nlist = 16, nprobe = 4)),
+    // IVF with a GENERATED full value oracle: the trained centroids embed
+    // as literals (like fitted stats), and the SQL recomputes assignment
+    // (argmin with (d, cell) tie-break), nprobe probing, exact cosine and
+    // ranking — only the KMeans training itself is trusted.
+    "q_ann_ivf" -> ((s, dir) => {
+      val (out, centers) = Ann.ivfTopKModel(Tables.embeddings(s, dir),
+        k = 5, nlist = 16, nprobe = 4)
+      ivfOracle = Some(ivfOracleSql(centers, k = 5, nprobe = 4))
+      out
+    }),
     "q_near_dup" -> ((s, dir) =>
       Ann.nearDupPairs(withPlanted(Tables.embeddings(s, dir)), threshold = 0.9)),
     // IVF recall vs brute force as a 1-row property (>= 0.6 with margin —
@@ -67,6 +75,54 @@ object SimilarityQueries {
   )
 
   // ---- oracle SQL ----------------------------------------------------
+
+  @volatile private var ivfOracle: Option[String] = None
+
+  private def dlit(v: Double): String = s"CAST(${java.lang.Double.toString(v)} AS DOUBLE)"
+
+  /** DuckDB replication of the IVF probe-and-rank with the centroids as
+    * literals. Distances are the same left-to-right fold as the Spark side
+    * (explicit 64-term sums), so assignment and probing match bit-for-bit.
+    */
+  private def ivfOracleSql(centers: Array[Array[Double]], k: Int, nprobe: Int): String = {
+    val nlist = centers.length
+    val dCols = centers.zipWithIndex.map { case (c, i) =>
+      val terms = c.zipWithIndex.map { case (cj, j) =>
+        s"(v[${j + 1}] - ${dlit(cj)}) * (v[${j + 1}] - ${dlit(cj)})"
+      }.mkString(" + ")
+      s"($terms) AS d$i"
+    }.mkString(",\n         ")
+    val least = (0 until nlist).map(i => s"d$i").mkString("LEAST(", ", ", ")")
+    val cellCase = (0 until nlist).map(i => s"WHEN d$i = m THEN $i").mkString(" ")
+    val probeUnion = (0 until nlist).map(i =>
+      s"SELECT vec_id, d$i AS pd, $i AS pcell FROM a").mkString("\n    UNION ALL\n    ")
+    s"""WITH $eCte,
+       |d AS (
+       |  SELECT vec_id, v, nrm,
+       |         $dCols
+       |  FROM e),
+       |a AS (
+       |  SELECT *, CASE $cellCase END AS cell
+       |  FROM (SELECT *, $least AS m FROM d)),
+       |p AS (
+       |  SELECT vec_id AS qid, pcell FROM (
+       |    SELECT vec_id, pcell, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY pd, pcell) AS prn
+       |    FROM (
+       |    $probeUnion))
+       |  WHERE prn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, n.vec_id AS nid,
+       |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+       |  FROM p JOIN a q ON p.qid = q.vec_id
+       |         JOIN a n ON n.cell = p.pcell AND n.vec_id <> p.qid),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${pround("cos")} DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, ${pround("cos")} AS cos
+       |FROM ranked WHERE rnk <= $k""".stripMargin
+  }
 
   private val eCte =
     """e AS (
@@ -109,7 +165,10 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    ivfOracle.map("q_ann_ivf" -> _).toMap ++ staticOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "q_cosine_topk" ->
       s"""WITH $eCte,
          |scored AS (

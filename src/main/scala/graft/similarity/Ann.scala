@@ -123,7 +123,15 @@ object Ann {
     * candidate join keys on cell id, so corpus rows shuffle once by cell).
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    ivfTopKModel(embeddings, k, nlist, nprobe, id, vec)._1
+
+  /** [[ivfTopK]] plus the trained centroids — an oracle can embed them as
+    * literals and recompute assignment/probing/ranking independently
+    * (only the KMeans TRAINING itself is then trusted, like fitted stats).
+    */
+  def ivfTopKModel(embeddings: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      id: String = "vec_id", vec: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
     val e = withNorm(embeddings, id, vec)
     val ve = e.withColumn("__v", org.apache.spark.ml.functions.array_to_vector(col(vec)))
     // the coarse quantizer does not need convergence — 10 Lloyd iterations
@@ -133,22 +141,26 @@ object Ann {
       .setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__v").setPredictionCol("cell")
       .fit(ve)
-    val assigned = km.transform(ve).drop("__v")
     val centers = km.clusterCenters.map(_.toArray)
-    // query-side: nprobe nearest cells by euclidean distance to centroids
+    // naive sequential-fold distances for BOTH assignment and probing
+    // (MLlib's transform uses fastSquaredDistance, whose rounding is not
+    // reproducible in SQL; the argmin with (d, cell) tie-break is)
     def dist2(c: Array[Double]) =
       aggregate(zip_with(col(vec), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, x) => acc + x)
     val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
       struct(dist2(c).as("d"), lit(i).as("cell"))
     }: _*)
+    val assigned = e
+      .withColumn("__sorted", array_sort(cellDists))
+      .withColumn("cell", col("__sorted").getItem(0).getField("cell"))
     val probes = assigned
-      .withColumn("__probe", slice(array_sort(cellDists), 1, nprobe))
+      .withColumn("__probe", slice(col("__sorted"), 1, nprobe))
       .select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"),
         explode(col("__probe.cell")).as("cell"))
     val corpus = assigned.select(col(id).as("nid"), col(vec).as("cv"),
       col("nrm").as("cn"), col("cell"))
-    probes.join(corpus, Seq("cell"))
+    val out = probes.join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(
@@ -156,6 +168,7 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
         col6(col("cos")).as("cos"))
+    (out, centers)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
