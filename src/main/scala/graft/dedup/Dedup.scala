@@ -36,6 +36,26 @@ object Dedup {
       .withColumn("keep_id", min(col(id)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(text))))
       .select(col(id), col("keep_id"), (col(id) =!= col("keep_id")).cast("int").as("is_dup"))
 
+  /** Scale variant of [[exact]]: groups by a (xxhash64, length, prefix-hash)
+    * fingerprint so the shuffle moves ~24 bytes per row instead of the full
+    * document blob — at 100 TB the text payload IS the job. A fingerprint
+    * collision between non-identical texts needs simultaneous 64-bit hash +
+    * length + independent prefix-hash agreement (~2^-90 per candidate
+    * pair); callers needing literal certainty re-verify the survivors'
+    * groups with [[exact]] (group sizes are tiny after fingerprinting).
+    */
+  def exactByFingerprint(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val fp = struct(
+      xxhash64(col(text)),
+      length(col(text)),
+      xxhash64(substring(col(text), 1, 64), lit(7L)))
+    docs.select(col(id), fp.as("__fp"))
+      .withColumn("keep_id", min(col(id)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .select(col(id), col("keep_id"), (col(id) =!= col("keep_id")).cast("int").as("is_dup"))
+  }
+
   /** (doc_id, shingle): 3-token shingle codes — the modular polynomial
     * ((t1*131 + t2) mod P * 131 + t3) mod P over the portable per-token
     * hashes ([[TextFeatures.tokenHash]], P < 2^53 so t*131 fits in Long).

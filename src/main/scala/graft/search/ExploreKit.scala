@@ -50,25 +50,30 @@ object ExploreKit {
       for (f <- fs; op <- cfg.unaryOps) yield Unary(op, f)
     val fui = unary(fi)
     val base = fi ++ fui
-    val comm = for {
-      (l, i) <- base.zipWithIndex; r <- base.drop(i + 1)
-      op <- cfg.commutativeOps
-    } yield BinaryE(op, l, r)
-    val noncomm = for {
-      l <- base; r <- base if l != r
-      op <- cfg.nonCommutativeOps
+    // stage-wise cap: the pair space is O(|base|^2) — materializing it all
+    // driver-side before a final take() would blow the driver for wide
+    // inputs; each stage is lazily capped at the candidate budget instead
+    // (generation order preserved, so the cap keeps Fui-first precedence)
+    val cap = cfg.maxCandidates
+    val comm = (for {
+      (l, i) <- base.iterator.zipWithIndex; r <- base.drop(i + 1).iterator
+      op <- cfg.commutativeOps.iterator
+    } yield BinaryE(op, l, r)).take(cap).toSeq
+    val noncomm = (for {
+      l <- base.iterator; r <- base.iterator if l != r
+      op <- cfg.nonCommutativeOps.iterator
       if op != BinOp.Div || !hasZero(r)
-    } yield BinaryE(op, l, r)
-    val gbt = for {
-      v <- base; k <- groupKeys; agg <- cfg.groupByAggs
-    } yield GroupByThenE(agg, v, RawCol(k))
+    } yield BinaryE(op, l, r)).take(cap).toSeq
+    val gbt = (for {
+      v <- base.iterator; k <- groupKeys.iterator; agg <- cfg.groupByAggs.iterator
+    } yield GroupByThenE(agg, v, RawCol(k))).take(cap).toSeq
     val foi = comm ++ noncomm ++ gbt
-    val foui = unary(foi)
+    val foui = unary(foi).take(cap)
     (fui ++ foi ++ foui)
       .map(Canon.canon)
       .filterNot(Canon.isConstant)
       .distinctBy(Canon.key)
-      .take(cfg.maxCandidates)
+      .take(cap)
   }
 
   final case class EkScored(expr: FeatureExpr, key: String, mi: Double)

@@ -72,10 +72,17 @@ object ColumnOps {
       if (i < j) -(k - j).toDouble / k else j.toDouble / k
     }
 
-  private def contrastEncode(df: DataFrame, c: String, out: String)(
+  private def contrastEncode(df: DataFrame, c: String, out: String,
+      maxLevels: Int = 1000)(
       coef: (Int, Int, Int) => Double): DataFrame = {
+    // contrast coding is only defined for bounded categorical domains; the
+    // cap turns a mistakenly-continuous column into a clear error instead
+    // of a driver OOM (the dict itself is k rows, k-1 output columns)
     val levels = df.select(col(c).cast("string").as(c)).distinct()
+      .limit(maxLevels + 1)
       .collect().map(_.getString(0)).sorted
+    require(levels.length <= maxLevels,
+      s"contrast coding needs a bounded categorical domain; '$c' has > $maxLevels levels")
     val k = levels.length
     val spark = df.sparkSession
     import spark.implicits._

@@ -16,6 +16,14 @@ class DedupSpec extends SparkSpec {
     assert(byDoc.getOrElse(4L, 0) == 1)
   }
 
+  test("fingerprint exact-dedup agrees with full-text exact-dedup") {
+    val docs = ((1L to 30L).map(i => (i, s"doc body ${i % 7} with shared text")) ++
+      Seq((100L, ""), (101L, ""))).toDF("doc_id", "text")
+    val full = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fp = Dedup.exactByFingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fp == full)
+  }
+
   test("hot-bucket cap drops degenerate LSH buckets; other bands keep recall") {
     // 40 identical docs (one giant bucket in every band) + one near-dup pair
     val docs = ((1L to 40L).map(i => (i, "the same giant cluster text body here")) ++
