@@ -165,8 +165,14 @@ final class SqlGen {
     val outs = feats.map { case (n, e) => n -> gen(e, fit) }
     val ctes = layers.zipWithIndex.map { case (cols, i) =>
       val src = if (i == 0) rel0 else s"__l$i"
-      val added = cols.map { case (n, sqlTxt) => s"$sqlTxt AS $n" }.mkString(",\n    ")
-      s"__l${i + 1} AS (\n  SELECT *,\n    $added\n  FROM $src)"
+      // a level can be empty when materializations skip depths (e.g. only
+      // a depth-2 window was materialized) — emit a plain pass-through so
+      // the numbered CTE chain stays contiguous and syntactically valid
+      if (cols.isEmpty) s"__l${i + 1} AS (\n  SELECT * FROM $src)"
+      else {
+        val added = cols.map { case (n, sqlTxt) => s"$sqlTxt AS $n" }.mkString(",\n    ")
+        s"__l${i + 1} AS (\n  SELECT *,\n    $added\n  FROM $src)"
+      }
     }
     val lastRel = if (layers.isEmpty) rel0 else s"__l${layers.size}"
     val outCols = keyCols ++ outs.map { case (n, f) =>
