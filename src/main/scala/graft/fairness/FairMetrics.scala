@@ -70,7 +70,10 @@ object FairMetrics {
     val orCol = (p10 / (lit(1.0) - p10)) * ((lit(1.0) - p11) / p11)
     piv
       .withColumn("__or", orCol)
-      .withColumn("__total", sum(col("nz")).over())
+      // scalar total via broadcast agg, not an empty-partition window (the
+      // context table is cardinality-bounded, but the single-partition
+      // WindowExec is a needless anti-pattern in a one-row-output plan)
+      .crossJoin(broadcast(piv.agg(sum(col("nz")).as("__total"))))
       .filter(!isnan(col("__or")) && col("__or") =!= Double.PositiveInfinity &&
         col("__or") =!= Double.NegativeInfinity)
       // all ORs non-finite => empty sum; reference: np.dot([],[]) = 0 -> rod = -1
@@ -110,7 +113,7 @@ object FairMetrics {
         max(col("rate")).as("mx"), min(col("rate")).as("mn"),
         countDistinct(col("__s")).as("ns"), sum(col("n")).as("nz"))
     piv
-      .withColumn("__total", sum(col("nz")).over())
+      .crossJoin(broadcast(piv.agg(sum(col("nz")).as("__total"))))
       .filter(col("ns") > 1 && col("mx").isNotNull && col("mn").isNotNull)
       .agg(sum((col("mx") - col("mn")) * col("nz") / col("__total")).as(out))
   }

@@ -47,16 +47,16 @@ object TextFeatures {
   def hashedTokens(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     tokens(docs, id, text).withColumn("tid", tokenHash(col("tok")))
 
-  /** Dense token dictionary: sorted distinct tokens -> ids 1..V.
-    *
-    * SMALL-VOCABULARY USE ONLY (ordinal/categorical encoding of bounded
-    * domains): the dense-rank window is a global sort of the distinct
-    * values. The hash paths (fingerprint/simhash/shingles/hashingTf) use
-    * [[tokenHash]] instead and never build a dictionary.
+  /** Dense token dictionary: sorted distinct tokens -> ids 1..V, via the
+    * range-bucketed ordinal rank (no single-partition window — the
+    * numbering equals a global sort because distinct tokens are unique).
+    * The hash paths (fingerprint/simhash/shingles/hashingTf) use
+    * [[tokenHash]] instead and never build a dictionary at all.
     */
   def tokenDict(toks: DataFrame): DataFrame =
-    toks.select(col("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+    graft.transforms.ColumnOps.ordinalRank(
+      toks.select(col("tok")).distinct(), Seq(col("tok")), "tid",
+      bucketBy = Some(graft.transforms.ColumnOps.stringProxy(col("tok"))))
 
   /** Per-document surface statistics + a composite quality score in [0,1]. */
   def stats(docs: DataFrame, stopwords: Seq[String],

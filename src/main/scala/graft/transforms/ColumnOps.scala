@@ -35,12 +35,16 @@ object ColumnOps {
   // ---- categorical encoders -------------------------------------------
 
   /** Ordinal/label encoding: dense ids 1..K over the sorted distinct
-    * values, attached via broadcast join (never a global window — the dict
-    * is value-cardinality-sized, the data never shuffles).
+    * values, attached via broadcast join. The dict ids come from the
+    * range-bucketed [[ordinalRank]] (distinct values are unique, so the
+    * numbering equals a global sort without any single-partition window —
+    * the encoding stays exact even for high-cardinality ordinal domains).
     */
   def ordinalEncode(df: DataFrame, c: String, out: String): DataFrame = {
-    val dict = df.select(col(c)).distinct()
-      .withColumn(out, row_number().over(Window.orderBy(col(c))).cast("long"))
+    val isString = df.schema(c).dataType == org.apache.spark.sql.types.StringType
+    val bucketBy = if (isString) Some(stringProxy(col(c))) else None
+    val dict = ordinalRank(df.select(col(c)).distinct(), Seq(col(c)), out,
+      bucketBy = bucketBy)
     df.join(broadcast(dict), Seq(c), "left")
   }
 
@@ -153,11 +157,25 @@ object ColumnOps {
   /** Global ordinal rank 1..N over a caller-supplied TOTAL order (supply
     * tie-break columns). Range-partitioned two-pass, like [[valueRanks]].
     */
+  /** Monotone numeric proxy over a string's first three codepoints (UTF-8
+    * order for BMP text). Shared prefixes collapse to one value — exactly
+    * what range-bucketing needs (ties stay in one bucket; the in-bucket
+    * window still sorts by the full value).
+    */
+  def stringProxy(c: Column): Column = {
+    val M = 1114112L // beyond any Unicode codepoint
+    def cp(i: Int) = coalesce(ascii(substring(c, i, 1)).cast("long"), lit(0L))
+    cp(1) * lit(M * M) + cp(2) * lit(M) + cp(3)
+  }
+
   def ordinalRank(df: DataFrame, orderCols: Seq[Column], out: String,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 32, bucketBy: Option[Column] = None): DataFrame = {
     // deterministic buckets on the FIRST order column (ties stay together;
-    // remaining order columns only break ties inside a bucket)
-    val ranged = df.withColumn("__pid", rangeBucket(df, orderCols.head, parts))
+    // remaining order columns only break ties inside a bucket). For string
+    // orders pass bucketBy = stringProxy(col) — the bucket function must be
+    // numeric and monotone in the window order.
+    val bucketCol = bucketBy.getOrElse(orderCols.head)
+    val ranged = df.withColumn("__pid", rangeBucket(df, bucketCol, parts))
     val totals = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
