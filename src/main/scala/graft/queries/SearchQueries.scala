@@ -112,7 +112,9 @@ object SearchQueries {
         (col("value") > med).cast("double").as("y"))
       val feats = Seq("x1", "x2", "x3")
       val rfeOk = Selectors.rfe(ev, feats, "y", keep = 1) == Seq("x1")
-      val borutaSel = Selectors.boruta(ev, feats, "y", rounds = 3)
+      // 2 rounds = strict 2-of-2 confirmation (each shadow permutation is
+      // ~6 small jobs; the gate property does not need BorutaPy's 100)
+      val borutaSel = Selectors.boruta(ev, feats, "y", rounds = 2)
       val borutaOk = borutaSel.contains("x1") && !borutaSel.contains("x3")
       val reliefOk = Selectors.reliefF(ev, feats, "y", keep = 1, probes = 128) == Seq("x1")
       val sissoOk = Selectors.sisso(ev, feats, "y", keep = 2).headOption.contains("x1")
