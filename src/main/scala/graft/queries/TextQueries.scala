@@ -23,7 +23,7 @@ object TextQueries {
 
     "q_text_stats" -> ((s, dir) =>
       TextFeatures.stats(docs(s, dir), stop)
-        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_tokens_bpe"),
           col("mean_tok_len"), col("stop_ratio"), col("short_ratio"), col("quality"))),
 
     "q_langid" -> ((s, dir) =>
@@ -89,6 +89,7 @@ object TextQueries {
          |         SUM(CASE WHEN LENGTH(tok) <= 2 THEN 1 ELSE 0 END) AS n_short
          |  FROM tok GROUP BY doc_id)
          |SELECT d.doc_id, CAST(LENGTH(d.text) AS DOUBLE) AS n_chars, a.n_tok AS n_tokens,
+         |  CAST(len(regexp_extract_all(d.text, '${TextFeatures.BpeishPattern.replace("'", "''")}')) AS BIGINT) AS n_tokens_bpe,
          |  FLOOR(CAST(((LENGTH(d.text) - (a.n_tok - 1)) / CAST(a.n_tok AS DOUBLE)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mean_tok_len,
          |  FLOOR(CAST((a.n_stop / CAST(a.n_tok AS DOUBLE)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stop_ratio,
          |  FLOOR(CAST((a.n_short / CAST(a.n_tok AS DOUBLE)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS short_ratio,

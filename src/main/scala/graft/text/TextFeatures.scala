@@ -58,6 +58,18 @@ object TextFeatures {
       toks.select(col("tok")).distinct(), Seq(col("tok")), "tid",
       bucketBy = Some(graft.transforms.ColumnOps.stringProxy(col("tok"))))
 
+  /** GPT-2-style BPE pre-tokenizer pattern, simplified to the alternation/
+    * class subset shared by Java regex and RE2 (DuckDB): contractions,
+    * letter runs, digit runs, punctuation runs, space runs — the standard
+    * "BPE-ish" token count for budget estimation (true BPE merges only
+    * split these pieces further, so this is a stable lower bound).
+    */
+  val BpeishPattern: String = "'[sdmt]|'ll|'ve|'re| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** BPE-ish token count of a text column (row-local, codegen-friendly). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
   /** Per-document surface statistics + a composite quality score in [0,1]. */
   def stats(docs: DataFrame, stopwords: Seq[String],
       id: String = "doc_id", text: String = "text"): DataFrame = {
@@ -71,6 +83,7 @@ object TextFeatures {
       col(id),
       nChars.as("n_chars"),
       nTok.cast("long").as("n_tokens"),
+      bpeishCount(col(text)).as("n_tokens_bpe"),
       col6((nChars - (nTok - 1)) / nTok).as("mean_tok_len"),
       col6(nStop / nTok).as("stop_ratio"),
       col6(nShort / nTok).as("short_ratio"),
