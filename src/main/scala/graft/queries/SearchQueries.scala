@@ -127,6 +127,33 @@ object SearchQueries {
       val cnnOk = protos.count() < 200 && protos.select("ym").distinct().count() == 2
       Seq((b2l(rfeOk), b2l(borutaOk), b2l(reliefOk), b2l(sissoOk), b2l(smoteOk), b2l(cnnOk)))
         .toDF("rfe_ok", "boruta_ok", "relief_ok", "sisso_ok", "smote_ok", "cnn_ok")
+    }),
+
+    // Alternative-traversal + evolutionary properties as a 1-row gate:
+    // Cognito's greedy path must improve monotonically over the transcripts
+    // base; the NSGA-II front must be non-empty and non-dominated.
+    "q_traversals" -> ((s, dir) => {
+      import s.implicits._
+      val base = searchBase(s, dir)
+      val path = Cognito.run(base,
+        Seq("text_len", "gap_secs", "roll5_mean_len", "turn_pos"),
+        col("label_next_tool"), maxDepth = 2)
+      val cogOk = path.nonEmpty &&
+        path.sliding(2).forall { case Seq(a, b) => b.mi > a.mi; case _ => true }
+      val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
+        .select(col("event_id"), col("value").as("x1"),
+          pmod(col("event_id") * 31, lit(17)).cast("double").as("x2"),
+          (col("event_id") % 2 === 0).as("prot"),
+          (col("event_id") % 3).cast("string").as("ctx"))
+      val med = ev.agg(percentile(col("x1"), lit(0.5))).head().getDouble(0)
+      val labeled = ev.withColumn("y", (col("x1") > med).cast("double"))
+      val front = Nsga2.selectFeatures(labeled, Seq("x1", "x2"), "y",
+        col("prot"), Seq("ctx"), popSize = 6, generations = 1, seed = 7L)
+      val nonDominated = front.forall(a => front.forall(b =>
+        a == b || !(a.objectives.zip(b.objectives).forall { case (x, y) => x >= y } &&
+          a.objectives.zip(b.objectives).exists { case (x, y) => x > y })))
+      Seq((b2l(cogOk), b2l(front.nonEmpty && nonDominated)))
+        .toDF("cognito_ok", "nsga2_ok")
     })
   )
 
@@ -185,6 +212,9 @@ object SearchQueries {
       ("SELECT CAST(1 AS BIGINT) AS rfe_ok, CAST(1 AS BIGINT) AS boruta_ok, " +
         "CAST(1 AS BIGINT) AS relief_ok, CAST(1 AS BIGINT) AS sisso_ok, " +
         "CAST(1 AS BIGINT) AS smote_ok, CAST(1 AS BIGINT) AS cnn_ok"),
+
+    "q_traversals" ->
+      "SELECT CAST(1 AS BIGINT) AS cognito_ok, CAST(1 AS BIGINT) AS nsga2_ok",
 
     "q_mi" ->
       s"""WITH ${Transcripts.sqlCte},
