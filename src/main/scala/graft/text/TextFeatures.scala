@@ -33,6 +33,15 @@ object TextFeatures {
     * supplementary-plane corpora would need a codepoint-exploding variant.
     */
   def tokenHash(tok: Column): Column =
+    graft.exprs.CatalystExprs.tokenPolyHash(tok)
+
+  /** The higher-order-function formulation of [[tokenHash]] — identical
+    * values (spec-asserted); kept as the executable documentation of the
+    * formula and the portability reference for the DuckDB oracle. The
+    * codegen'd [[graft.exprs.TokenPolyHash]] expression replaces it in the
+    * hot path: the HOF evaluates an interpreted lambda per character.
+    */
+  def tokenHashHof(tok: Column): Column =
     aggregate(
       transform(split(tok, ""), ch => ascii(ch).cast("long")),
       lit(0L),

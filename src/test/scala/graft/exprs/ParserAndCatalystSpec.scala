@@ -53,6 +53,23 @@ class ParserAndCatalystSpec extends SparkSpec {
     }
   }
 
+  test("TokenPolyHash (codegen) == higher-order-function token hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val toks = Seq("", "a", "the", "hash", "Zebra9", "ünïcödé", "x" * 200)
+      .toDF("tok")
+    val rows = toks.select(
+      graft.text.TextFeatures.tokenHash(col("tok")).as("fast"),
+      graft.text.TextFeatures.tokenHashHof(col("tok")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // registered SQL function agrees too
+    CatalystExprs.register(spark)
+    toks.createOrReplaceTempView("toks")
+    val viaSql = spark.sql(
+      "SELECT token_poly_hash(tok) AS h FROM toks").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == rows.map(_.getLong(0)).toSeq)
+  }
+
   test("ComplexityScore expression scores serialized candidates in SQL") {
     CatalystExprs.register(spark)
     val rows = Seq(
