@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNPREFIXED: the bench/verify
+// mains print one machine-readable JSON line that the round driver parses;
+// the default LoggedOutput "[info] " prefix breaks that parse (BENCH_r01/
+// r02 both captured `parsed: null` for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -98,17 +98,24 @@ object Profiler {
       .collect()
     val byFid = rows.map(r => r.getInt(r.fieldIndex("fid")) -> r).toMap
     numericCols.zipWithIndex.map { case ((n, _), i) =>
-      val r = byFid(i)
-      def dbl(f: String): Double = {
-        val ix = r.fieldIndex(f)
-        if (r.isNullAt(ix)) Double.NaN else r.getDouble(ix)
+      byFid.get(i) match {
+        // fid absent = zero input rows (empty df): the wide-agg path would
+        // return one row of zero counts — mirror that, don't crash
+        case None =>
+          n -> ColumnProfile(n, isNumeric = true, count = 0L, missing = 0L,
+            min = Double.NaN, max = Double.NaN, hasZero = false, distinct = 0L)
+        case Some(r) =>
+          def dbl(f: String): Double = {
+            val ix = r.fieldIndex(f)
+            if (r.isNullAt(ix)) Double.NaN else r.getDouble(ix)
+          }
+          n -> ColumnProfile(n, isNumeric = true,
+            count = r.getLong(r.fieldIndex("cnt")),
+            missing = r.getLong(r.fieldIndex("miss")),
+            min = dbl("mn"), max = dbl("mx"),
+            hasZero = r.getLong(r.fieldIndex("zero")) > 0,
+            distinct = r.getLong(r.fieldIndex("dist")))
       }
-      n -> ColumnProfile(n, isNumeric = true,
-        count = r.getLong(r.fieldIndex("cnt")),
-        missing = r.getLong(r.fieldIndex("miss")),
-        min = dbl("mn"), max = dbl("mx"),
-        hasZero = r.getLong(r.fieldIndex("zero")) > 0,
-        distinct = r.getLong(r.fieldIndex("dist")))
     }.toMap
   }
 

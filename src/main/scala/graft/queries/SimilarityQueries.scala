@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *    as literals).
   *  - q_near_dup: the driver fixture has no pairs above cos 0.52, so the
   *    query plants deterministic near-duplicates derived from the data
-  *    (vec_id % 5 == 0 gets a +0.03-per-dim perturbed copy at id+1000000,
+  *    (vec_id % 5 == 0 gets a +0.02-per-dim perturbed copy at id+1000000,
   *    cos ~ 0.97) — expressible identically in SQL, so the brute-force
   *    cos >= 0.9 oracle pins both the planting and the LSH pair detection.
   *  - q_ann_ivf stays rows-only (KMeans is not SQL-expressible);
@@ -132,11 +132,17 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= $k""".stripMargin
   }
 
+  // The WHERE guard fails LOUDLY (DuckDB error()) if a fixture's embedding
+  // width ever diverges from the 64 dims hard-coded into the plane literals
+  // of bucketSql / the IVF centroid literals — a silent width change would
+  // otherwise compute wrong buckets that still hash-compare.
   private val eCte =
     """e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-      |  FROM embeddings)""".stripMargin
+      |  FROM embeddings
+      |  WHERE CASE WHEN len(embedding) = 64 THEN TRUE
+      |             ELSE error('embedding width != 64: oracle plane literals invalid') END)""".stripMargin
 
   private def pround(x: String): String =
     s"FLOOR(CAST(($x) AS DOUBLE) * 1000000 + 0.5) / 1000000"

@@ -157,7 +157,7 @@ object TransformQueries {
     "q_impute" ->
       s"""WITH e AS (
          |  SELECT event_id, CASE WHEN event_type <> 'error' THEN value END AS v,
-         |         CASE WHEN event_type <> 'error' THEN CAST(FLOOR(value % 7.0) AS DOUBLE) END AS vm
+         |         CASE WHEN event_type <> 'error' THEN CAST(FLOOR(((value % 7.0) + 7.0) % 7.0) AS DOUBLE) END AS vm
          |  FROM events),
          |s AS (SELECT AVG(v) AS mu, MEDIAN(v) AS md FROM e),
          |m AS (SELECT vm AS mo FROM (

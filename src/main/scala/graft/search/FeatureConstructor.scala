@@ -45,7 +45,18 @@ object FeatureConstructor {
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val dir = s"$root/graft_base_${java.util.UUID.randomUUID}"
     df.write.mode("overwrite").parquet(dir)
+    // spark.local.dir is tmpfs here — a long-lived driver JVM (the Verify /
+    // Bench mains run dozens of snapshot-consuming queries) must not
+    // accumulate RAM-backed snapshots, so every snapshot dir is deleted on
+    // JVM exit (deep deleteOnExit: files must be registered after dirs).
+    registerDeleteOnExit(new java.io.File(dir))
     spark.read.parquet(dir)
+  }
+
+  private def registerDeleteOnExit(f: java.io.File): Unit = {
+    f.deleteOnExit()
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(registerDeleteOnExit)
   }
 
   def fit(

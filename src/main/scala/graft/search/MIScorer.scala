@@ -88,33 +88,41 @@ object MIScorer {
         count(when(v.isNull || isnan(v), 1)).as("miss"))
     val rows = ex.groupBy(col("fid")).agg(aggs.head, aggs.tail: _*).collect()
     val byFid = rows.map(r => r.getInt(r.fieldIndex("fid")) -> r).toMap
+    // a fid missing from the exploded groupBy means zero scored rows (empty
+    // fit scope / all-null labels) — the old single-row wide agg returned a
+    // row of zero counts; mirror that with a degenerate zero-stats result
+    // instead of crashing on byFid(i)
+    val empty = FeatureStats(0.0, 0L, 0L, Double.NaN, Double.NaN, 0L)
 
     feats.zipWithIndex.map { case ((n, _), i) =>
-      val row = byFid(i)
-      val counts = (0 to bins).map { b =>
-        (row.getLong(row.fieldIndex(s"b${b}_0")),
-          row.getLong(row.fieldIndex(s"b${b}_1")))
+      byFid.get(i) match {
+        case None => n -> empty
+        case Some(row) =>
+          val counts = (0 to bins).map { b =>
+            (row.getLong(row.fieldIndex(s"b${b}_0")),
+              row.getLong(row.fieldIndex(s"b${b}_1")))
+          }
+          val total = counts.map(t => t._1 + t._2).sum.toDouble
+          val py1 = counts.map(_._2).sum / total
+          val py0 = 1.0 - py1
+          var mi = 0.0
+          counts.foreach { case (c0, c1) =>
+            val pb = (c0 + c1) / total
+            if (c0 > 0) { val p = c0 / total; mi += p * math.log(p / (pb * py0)) }
+            if (c1 > 0) { val p = c1 / total; mi += p * math.log(p / (pb * py1)) }
+          }
+          val hy = -Seq(py0, py1).filter(_ > 0).map(p => p * math.log(p)).sum
+          val fpIdx = row.fieldIndex("fp")
+          val mnIdx = row.fieldIndex("mn")
+          val mxIdx = row.fieldIndex("mx")
+          n -> FeatureStats(
+            mi = if (hy > 0) mi / hy else 0.0,
+            fingerprint = if (row.isNullAt(fpIdx)) 0L else row.getLong(fpIdx),
+            distinct = row.getLong(row.fieldIndex("dist")),
+            min = if (row.isNullAt(mnIdx)) Double.NaN else row.getDouble(mnIdx),
+            max = if (row.isNullAt(mxIdx)) Double.NaN else row.getDouble(mxIdx),
+            missing = row.getLong(row.fieldIndex("miss")))
       }
-      val total = counts.map(t => t._1 + t._2).sum.toDouble
-      val py1 = counts.map(_._2).sum / total
-      val py0 = 1.0 - py1
-      var mi = 0.0
-      counts.foreach { case (c0, c1) =>
-        val pb = (c0 + c1) / total
-        if (c0 > 0) { val p = c0 / total; mi += p * math.log(p / (pb * py0)) }
-        if (c1 > 0) { val p = c1 / total; mi += p * math.log(p / (pb * py1)) }
-      }
-      val hy = -Seq(py0, py1).filter(_ > 0).map(p => p * math.log(p)).sum
-      val fpIdx = row.fieldIndex("fp")
-      val mnIdx = row.fieldIndex("mn")
-      val mxIdx = row.fieldIndex("mx")
-      n -> FeatureStats(
-        mi = if (hy > 0) mi / hy else 0.0,
-        fingerprint = if (row.isNullAt(fpIdx)) 0L else row.getLong(fpIdx),
-        distinct = row.getLong(row.fieldIndex("dist")),
-        min = if (row.isNullAt(mnIdx)) Double.NaN else row.getDouble(mnIdx),
-        max = if (row.isNullAt(mxIdx)) Double.NaN else row.getDouble(mxIdx),
-        missing = row.getLong(row.fieldIndex("miss")))
     }.toMap
   }
 }

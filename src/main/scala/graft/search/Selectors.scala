@@ -58,7 +58,17 @@ object Selectors {
       col(labelCol).cast("double").as("__y")): _*).na.drop()
     val hits = collection.mutable.Map(featureCols.map(_ -> 0): _*)
     (0 until rounds).foreach { r =>
-      val withShadow = shadowed(base, featureCols, salt = seed + r)
+      // Spark ML RandomForest bootstrap sampling is seeded PER PARTITION
+      // INDEX and drawn in row order, so featureImportances depends on the
+      // fit input's partition layout (shadowed() ends in a shuffle join
+      // sized by spark.sql.shuffle.partitions = cpus). Pin the bounded
+      // (gate-sized) fit input to a fixed content-hashed partitioning +
+      // within-partition order so the confirmed set is invariant to
+      // SPARK_GRAFT_CPUS / upstream split count.
+      val shadow0 = shadowed(base, featureCols, salt = seed + r)
+      val rowH = xxhash64(shadow0.columns.map(col).toSeq: _*)
+      val withShadow = shadow0.withColumn("__rh", rowH)
+        .repartition(4, col("__rh")).sortWithinPartitions("__rh").drop("__rh")
       val all = featureCols ++ featureCols.map(c => s"__sh_$c")
       val asm = new VectorAssembler().setInputCols(all.toArray).setOutputCol("features")
       val rf = new RandomForestClassifier().setLabelCol("__y")
