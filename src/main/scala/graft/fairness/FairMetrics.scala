@@ -23,26 +23,42 @@ object FairMetrics {
     */
   def binContexts(df: DataFrame, cols: Seq[String]): (DataFrame, Seq[String]) = {
     val numericTypes = Set("double", "float", "integer", "long", "short")
-    val (numeric, passthrough) = cols.partition(c =>
+    val numeric = cols.filter(c =>
       numericTypes.contains(df.schema(c).dataType.typeName))
-    val needQuantiles = numeric.filter { c =>
-      df.select(approx_count_distinct(col(c))).head().getLong(0) > 4
-    }
+    // ONE batched agg for every numeric context column's distinct count AND
+    // quantile edges — fit-job count is independent of context width (a real
+    // Markov-blanket has many context columns; 2 sequential jobs per column
+    // was a driver-side loop in disguise). Quantiles for low-cardinality
+    // columns are computed-and-discarded: same single pass either way.
+    val stats: Map[String, (Long, Seq[Double])] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val aggs = numeric.flatMap { c =>
+          Seq(
+            approx_count_distinct(col(c)).as(s"__d_$c"),
+            percentile(col(c).cast("double"), typedLit(Seq(0.25, 0.5, 0.75)))
+              .as(s"__q_$c"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        numeric.map { c =>
+          val qIx = r.fieldIndex(s"__q_$c")
+          val qs = if (r.isNullAt(qIx)) Seq.empty[Double] else r.getSeq[Double](qIx)
+          c -> (r.getLong(r.fieldIndex(s"__d_$c")), qs)
+        }.toMap
+      }
     var out = df
     val binned = cols.map { c =>
-      if (needQuantiles.contains(c)) {
-        val qs = df.agg(percentile(col(c).cast("double"), typedLit(Seq(0.25, 0.5, 0.75)))
-          .as("q")).head().getSeq[Double](0).distinct
-        val bin = qs.map(e => when(col(c) > lit(e), 1).otherwise(0))
-          .reduceLeft[Column](_ + _)
-        val name = s"${c}__bin"
-        out = out.withColumn(name, bin.cast("string"))
-        name
-      } else {
-        val name = s"${c}__bin"
-        out = out.withColumn(name, col(c).cast("string"))
-        name
+      val name = s"${c}__bin"
+      stats.get(c) match {
+        case Some((dist, qs0)) if dist > 4 && qs0.nonEmpty =>
+          val qs = qs0.distinct
+          val bin = qs.map(e => when(col(c) > lit(e), 1).otherwise(0))
+            .reduceLeft[Column](_ + _)
+          out = out.withColumn(name, bin.cast("string"))
+        case _ =>
+          out = out.withColumn(name, col(c).cast("string"))
       }
+      name
     }
     (out, binned)
   }

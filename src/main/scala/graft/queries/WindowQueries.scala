@@ -81,20 +81,28 @@ object WindowQueries {
         col6(WF.groupByThenAtOrBefore(avg, len)).as("run_mean_len"))
     }),
 
-    "q_asof_join" -> ((s, dir) => asofResult(s, dir, skew = false)),
-    "q_asof_skew" -> ((s, dir) => asofResult(s, dir, skew = true))
+    "q_asof_join" -> ((s, dir) => asofResult(s, dir, Variant.Shuffle)),
+    "q_asof_skew" -> ((s, dir) => asofResult(s, dir, Variant.Skew)),
+    // identical semantics, third physical shape: right side collapses to
+    // per-entity sorted arrays and broadcasts; the 100 TB left side never
+    // shuffles; visibility via the codegen'd AsOfLessOrEqual expression
+    "q_asof_broadcast" -> ((s, dir) => asofResult(s, dir, Variant.Broadcast))
   )
 
-  private def asofResult(s: SparkSession, dir: String, skew: Boolean): DataFrame = {
+  private object Variant extends Enumeration { val Shuffle, Skew, Broadcast = Value }
+
+  private def asofResult(s: SparkSession, dir: String, v: Variant.Value): DataFrame = {
     val left = T(s, dir)
     val right = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(
         concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
         col("ts").cast("timestamp").as("ts"), col("event_id"), col("value").as("pval"))
-    val joined =
-      if (skew) AsOfJoin.asOfSkew(left, right, "conv_id", Seq("pval"), col("event_id"), 16)
-      else AsOfJoin.asOf(left, right, "conv_id", Seq("pval"), col("event_id"))
+    val joined = v match {
+      case Variant.Skew => AsOfJoin.asOfSkew(left, right, "conv_id", Seq("pval"), col("event_id"), 16)
+      case Variant.Broadcast => AsOfJoin.asOfBroadcast(left, right, "conv_id", Seq("pval"), col("event_id"))
+      case _ => AsOfJoin.asOf(left, right, "conv_id", Seq("pval"), col("event_id"))
+    }
     joined.select(
       col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
       col6(col("pval")).as("last_purchase"))
@@ -185,6 +193,7 @@ object WindowQueries {
          |FROM transcripts""".stripMargin,
 
     "q_asof_join" -> asofSql,
-    "q_asof_skew" -> asofSql
+    "q_asof_skew" -> asofSql,
+    "q_asof_broadcast" -> asofSql
   )
 }

@@ -135,7 +135,22 @@ object Ann {
       reuseCenters: Option[Array[Array[Double]]] = None): (DataFrame, Array[Array[Double]]) = {
     val e = withNorm(embeddings, id, vec)
     val centers = reuseCenters.getOrElse {
-      val ve = e.withColumn("__v", org.apache.spark.ml.functions.array_to_vector(col(vec)))
+      // Train the coarse quantizer on a deterministic id-hash SAMPLE, not
+      // the corpus: each Lloyd iteration is a full input pass, and at 10^9
+      // vectors 10 full-corpus scans just to place ~nlist coarse cells is
+      // the classic IVF anti-pattern — the standard layout (FAISS-style)
+      // fits the quantizer on a bounded sample and only ASSIGNS the full
+      // corpus. The id-hash filter is partition-invariant and seed-free,
+      // and assignment below stays exact over every row, so the
+      // centroids-as-literals oracle is unaffected.
+      val fitTarget = math.max(4096L, 64L * nlist)
+      val n = e.count()
+      val denom = math.max(1L, n / fitTarget)
+      val fitRows =
+        if (denom == 1L) e
+        else e.filter(pmod(xxhash64(col(id)), lit(denom)) === 0)
+      val ve = fitRows.withColumn("__v",
+        org.apache.spark.ml.functions.array_to_vector(col(vec)))
       // the coarse quantizer does not need convergence — 10 Lloyd iterations
       // give the same recall regime at half the fit jobs (each KMeans
       // iteration is a full pass; default maxIter=20 dominated this query)

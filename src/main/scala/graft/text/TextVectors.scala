@@ -14,18 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object TextVectors {
 
-  /** (doc_id, ngram, count): contiguous word n-grams per document. */
+  /** (doc_id, ngram, count): contiguous word n-grams per document.
+    *
+    * Plan shape: ROW-LOCAL sliding window over `split()` (the
+    * [[graft.dedup.Dedup.shingles]] shape) — no joins, no second exchange;
+    * the only shuffle is the final groupBy(doc, ngram). The obvious
+    * alternative (self-join the exploded token table on (doc, pos+i),
+    * round-1's plan) exchanges the full token table n-1 times — a
+    * token-count-sized shuffle for no reason at corpus scale.
+    */
   def ngramCounts(docs: DataFrame, n: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
-    val toks = TextFeatures.tokens(docs, id, text)
-    val joined = (2 to n).foldLeft(
-      toks.select(col(id), col("pos"), col("tok").as("g1"))) { (acc, i) =>
-      val t = toks.select(col(id).as("__id"), col("pos").as("__pos"), col("tok").as(s"g$i"))
-      acc.join(t, col(id) === col("__id") && col("__pos") === col("pos") + (i - 1))
-        .drop("__id", "__pos")
-    }
-    joined
-      .select(col(id), concat_ws(" ", (1 to n).map(i => col(s"g$i")): _*).as("ngram"))
+    val toks = split(col(text), " ")
+    docs
+      .select(col(id), explode(
+        // sequence(0, m) DESCENDS when m < 0, so guard short docs explicitly
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
       .groupBy(col(id), col("ngram")).agg(count(lit(1)).as("cnt"))
   }
 

@@ -68,6 +68,51 @@ object AsOfJoin {
         valueCols.map(v => col("__filled").getField(v).as(v)): _*)
   }
 
+  /** Broadcast as-of join — the third physical shape, for DIMENSION-SIZED
+    * right sides (config history, model-version tables, price books: the
+    * common case where the right side is kilobytes-to-gigabytes while the
+    * left is the 100 TB fact table).
+    *
+    * Shape (1) pays one full hash exchange of the LEFT side; at 10^12 turns
+    * that is the whole job. Here the left side never shuffles at all: the
+    * right side collapses to one time-sorted array per entity (a shuffle of
+    * the small side only), broadcast-hash-joins onto the left, and each left
+    * row selects the last visible payload with a row-local array `filter`
+    * whose predicate is the codegen'd [[graft.exprs.AsOfLessOrEqual]]
+    * at-or-before expression — the north star's as-of range predicate
+    * executing inside the plan. Semantics identical to [[asOf]] (equal-ts
+    * rows visible, greatest `rightSeq` wins); PlanSpec asserts the executed
+    * plan has a broadcast join, no left-side exchange, and the expression.
+    */
+  def asOfBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      valueCols: Seq[String],
+      rightSeq: Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(valueCols.map(col): _*)
+    // array_sort on struct orders by field position: (__t, __seq) is the
+    // asOf window order among right rows, so "last visible" == max (t, seq)
+    val rGrouped = right
+      .select(col(entity), struct(
+        unix_micros(col("ts")).as("__t"),
+        rightSeq.cast("long").as("__seq"),
+        payload.as("__p")).as("__e"))
+      .groupBy(col(entity))
+      .agg(array_sort(collect_list(col("__e"))).as("__arr"))
+    val visible = filter(col("__arr"), e =>
+      graft.exprs.CatalystExprs.asOfLessOrEqual(
+        e.getField("__t"), unix_micros(col("ts"))))
+    left.join(broadcast(rGrouped), Seq(entity), "left")
+      .withColumn("__vis", visible)
+      .withColumn("__filled",
+        when(size(col("__vis")) > 0,
+          element_at(col("__vis"), size(col("__vis"))).getField("__p")))
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col("__filled").getField(v).as(v)): _*)
+  }
+
   /** Skew-resistant as-of join: event-time range buckets + carry-in stitch.
     *
     * @param numBuckets number of time buckets to cut `[minTs, maxTs]` into;
