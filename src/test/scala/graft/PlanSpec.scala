@@ -41,6 +41,39 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"got $exchanges exchanges:\n$p")
   }
 
+  test("asOfBroadcast: broadcast join, zero left-side exchange, AsOfLessOrEqual executes") {
+    val left = Transcripts.fromEvents(Tables.events(spark, sf0001))
+      .select("conv_id", "turn_idx", "ts")
+    val right = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"), col("value").as("pval"))
+    val out = AsOfJoin.asOfBroadcast(left, right, "conv_id", Seq("pval"), col("event_id"))
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"), s"right side must broadcast:\n$p")
+    // the ONLY hash exchanges allowed are (a) transcripts derivation and
+    // (b) the small right side's groupBy(entity) — the left fact side must
+    // reach the join shuffle-free (the point of this shape at 100 TB)
+    val exchanges = countOccurrences(p, "Exchange hashpartitioning")
+    assert(exchanges <= 2, s"got $exchanges exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge join in this shape:\n$p")
+    // the north-star as-of range predicate is IN the executed plan
+    assert(p.toLowerCase.contains("asoflessorequal"),
+      s"AsOfLessOrEqual must appear in the executed plan:\n$p")
+    // semantics == union+window shape
+    val ref = AsOfJoin.asOf(left, right, "conv_id", Seq("pval"), col("event_id"))
+    assert(out.orderBy("conv_id", "turn_idx").collect().toSeq ==
+      ref.orderBy("conv_id", "turn_idx").collect().toSeq)
+  }
+
+  test("ngramCounts is row-local: no join, single exchange (the count groupBy)") {
+    val docs = Tables.documents(spark, sf0001)
+    val p = plan(graft.text.TextVectors.ngramCounts(docs, 3))
+    assert(!p.contains("Join"), s"n-grams must not self-join the token table:\n$p")
+    val exchanges = countOccurrences(p, "Exchange")
+    assert(exchanges <= 1, s"expected only the groupBy exchange, got $exchanges:\n$p")
+  }
+
   test("filter on the as-of right side is pushed to the parquet scan") {
     val right = Tables.events(spark, sf0001)
       .filter(col("event_type") === "purchase")

@@ -57,4 +57,35 @@ class FairMetricsSpec extends SparkSpec {
     assert(math.abs(tp - 1.0) < 1e-9)
     assert(math.abs(tn - 1.0) < 1e-9)
   }
+
+  test("binContexts: fit-job count is independent of context width") {
+    val wide = (1 to 200).map(i =>
+      (i.toDouble, i * 2.0, math.sqrt(i.toDouble), (i % 97).toDouble, s"g${i % 3}"))
+      .toDF("a", "b", "c", "d", "g")
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val j1 = jobsDuring { FairMetrics.binContexts(wide, Seq("a")) }
+    val j5 = jobsDuring { FairMetrics.binContexts(wide, Seq("a", "b", "c", "d", "g")) }
+    assert(j5 == j1, s"stats must batch into one agg: 1-col=$j1 jobs, 5-col=$j5")
+    // and the batched path still bins by the same qcut edges
+    val (binned, names) = FairMetrics.binContexts(wide, Seq("d", "g"))
+    assert(names == Seq("d__bin", "g__bin"))
+    val d = binned.select("d", "d__bin").where(col("d") === 10.0).head().getString(1)
+    assert(Set("0", "1", "2", "3").contains(d))
+    val g = binned.select("g__bin").where(col("g") === "g1").head().getString(0)
+    assert(g == "g1")
+  }
 }
