@@ -21,18 +21,33 @@ object Capuchin {
       context: Seq[String], sensitive: String, target: String,
       count: Long, repaired: Double, weight: Double)
 
+  /** The rank-1 decomposition of one context's contingency matrix:
+    * repaired(y, s) = sigma * u(y) * v(s). Exposed so an oracle can embed
+    * the FITTED factors as literals (the IVF-centroid pattern) and
+    * recompute the outer product + weights independently in SQL.
+    */
+  final case class Rank1Factors(
+      sigma: Double, u: Map[String, Double], v: Map[String, Double])
+
   def repair(
       df: DataFrame,
       admissible: Seq[String],
       sensitive: Column,
-      target: Column): Seq[RepairedCell] = {
+      target: Column): Seq[RepairedCell] =
+    repairWithFactors(df, admissible, sensitive, target)._1
+
+  def repairWithFactors(
+      df: DataFrame,
+      admissible: Seq[String],
+      sensitive: Column,
+      target: Column): (Seq[RepairedCell], Map[Seq[String], Rank1Factors]) = {
     val cube = df.groupBy(
         (admissible.map(c => col(c).cast("string").as(c)) :+
           sensitive.cast("string").as("__s") :+ target.cast("string").as("__y")): _*)
       .agg(count(lit(1)).as("n"))
       .collect()
 
-    cube.groupBy(r => admissible.indices.map(r.getString).toSeq).toSeq.flatMap {
+    val perCtx = cube.groupBy(r => admissible.indices.map(r.getString).toSeq).toSeq.map {
       case (ctx, rows) =>
         val ss = rows.map(_.getString(admissible.size)).distinct.sorted
         val ys = rows.map(_.getString(admissible.size + 1)).distinct.sorted
@@ -41,19 +56,30 @@ object Capuchin {
           m(ys.indexOf(r.getString(admissible.size + 1)))(ss.indexOf(r.getString(admissible.size))) =
             r.getLong(admissible.size + 2).toDouble
         }
-        val approx = rank1(m)
-        rows.map { r =>
+        val (sigma, u, v) = rank1Factors(m)
+        val cells = rows.map { r =>
           val yi = ys.indexOf(r.getString(admissible.size + 1))
           val si = ss.indexOf(r.getString(admissible.size))
           val n = r.getLong(admissible.size + 2)
-          RepairedCell(ctx, ss(si), ys(yi), n, approx(yi)(si),
-            if (n == 0) 1.0 else approx(yi)(si) / n)
+          val approx = sigma * u(yi) * v(si)
+          RepairedCell(ctx, ss(si), ys(yi), n, approx,
+            if (n == 0) 1.0 else approx / n)
         }
+        (ctx, cells,
+          Rank1Factors(sigma, ys.zip(u).toMap, ss.zip(v).toMap))
     }
+    (perCtx.flatMap(_._2), perCtx.map(p => p._1 -> p._3).toMap)
   }
 
   /** Best rank-1 nonnegative approximation via power iteration. */
   private[fairness] def rank1(m: Array[Array[Double]], iters: Int = 200): Array[Array[Double]] = {
+    val (sigma, u, v) = rank1Factors(m, iters)
+    Array.tabulate(m.length, m(0).length)((i, j) => sigma * u(i) * v(j))
+  }
+
+  /** (sigma, u, v) of the leading singular pair, u/v nonnegative. */
+  private[fairness] def rank1Factors(
+      m: Array[Array[Double]], iters: Int = 200): (Double, Array[Double], Array[Double]) = {
     val rows = m.length; val cols = m(0).length
     var v = Array.fill(cols)(1.0 / math.sqrt(cols))
     var u = Array.fill(rows)(0.0)
@@ -66,6 +92,6 @@ object Capuchin {
       sigma = math.sqrt(v.map(x => x * x).sum)
       if (sigma > 0) v = v.map(_ / sigma)
     }
-    Array.tabulate(rows, cols)((i, j) => sigma * u(i) * v(j))
+    (sigma, u, v)
   }
 }

@@ -154,8 +154,70 @@ object SearchQueries {
           a.objectives.zip(b.objectives).exists { case (x, y) => x > y })))
       Seq((b2l(cogOk), b2l(front.nonEmpty && nonDominated)))
         .toDF("cognito_ok", "nsga2_ok")
+    }),
+
+    // LR CV-grid scoring + AICc final selection as a planted-composition
+    // 1-row gate (reference: run_evaluation.py:142-243 grid CV and
+    // ComplexityDrivenFeatureConstruction.py:754-802 AICc pick): the label
+    // is EXACTLY x1*x2 > 1 over hash-uniform x1, x2 in [0.5, 1.5], so the
+    // AICc argmin must be the multiplicative composition — every
+    // complexity-1 champion (a raw column) carries strictly worse rss.
+    "q_lr_aicc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.exprs._
+      val ev = Tables.events(s, dir).filter(col("event_id") < 2000).select(
+          (pmod(xxhash64(col("event_id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+          (pmod(xxhash64(col("event_id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"))
+        .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+      val res = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
+        CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
+          unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)).run()
+      val (winner, table) = LrScorer.selectByAicc(ev, res, "y",
+        folds = 3, grid = LrScorer.DefaultGrid)
+      val winnerOk = winner.key.contains("mul")
+      val winnerAicc = table.find(_._1.key == winner.key).map(_._2)
+      val c1 = table.filter(_._1.complexity == 1).map(_._2)
+      val argminOk = winnerAicc.exists(w => c1.nonEmpty && c1.forall(w < _))
+      Seq((b2l(winnerOk), b2l(table.size >= 2), b2l(argminOk)))
+        .toDF("aicc_winner_ok", "aicc_table_ok", "aicc_argmin_ok")
+    }),
+
+    // Checkpoint resumability under the driver gate (north rule: resumable
+    // from snapshot checkpoints): a search stopped after layer 2 and resumed
+    // from its manifest must land on the BIT-IDENTICAL survivor set, scores,
+    // and champion as an uninterrupted run.
+    "q_resume" -> ((s, dir) => {
+      import s.implicits._
+      import graft.exprs._
+      val ev = Tables.events(s, dir).filter(col("event_id") < 3000).select(
+          (pmod(xxhash64(col("event_id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+          (pmod(xxhash64(col("event_id") + 13), lit(100)).cast("double") / 100 + 0.5).as("x2"))
+        .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+      val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax), groupByAggs = Seq.empty)
+      val fresh = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"), cfg).run()
+      val ckdir = java.nio.file.Files.createTempDirectory("graft_resume").toFile
+      try {
+        new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
+          cfg.copy(cMax = 2), Some(ckdir.toString)).run()
+        val resumed = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
+          cfg, Some(ckdir.toString)).run()
+        def canon(r: CdfcResult) = r.survivors
+          .map(sc => (sc.key, sc.complexity, math.rint(sc.score * 1e9), sc.passed, sc.inherited))
+          .sortBy(_._1)
+        val resumeOk = canon(resumed) == canon(fresh)
+        val bestOk = resumed.best.key == fresh.best.key &&
+          math.abs(resumed.best.score - fresh.best.score) < 1e-12
+        Seq((b2l(resumeOk), b2l(bestOk))).toDF("resume_ok", "best_ok")
+      } finally deleteRecursively(ckdir)
     })
   )
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
@@ -215,6 +277,13 @@ object SearchQueries {
 
     "q_traversals" ->
       "SELECT CAST(1 AS BIGINT) AS cognito_ok, CAST(1 AS BIGINT) AS nsga2_ok",
+
+    "q_lr_aicc" ->
+      ("SELECT CAST(1 AS BIGINT) AS aicc_winner_ok, CAST(1 AS BIGINT) AS aicc_table_ok, " +
+        "CAST(1 AS BIGINT) AS aicc_argmin_ok"),
+
+    "q_resume" ->
+      "SELECT CAST(1 AS BIGINT) AS resume_ok, CAST(1 AS BIGINT) AS best_ok",
 
     "q_mi" ->
       s"""WITH ${Transcripts.sqlCte},
