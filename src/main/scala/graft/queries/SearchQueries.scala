@@ -131,15 +131,31 @@ object SearchQueries {
 
     // Alternative-traversal + evolutionary properties as a 1-row gate:
     // Cognito's greedy path must improve monotonically over the transcripts
-    // base; the NSGA-II front must be non-empty and non-dominated.
+    // base; the global best-first and harmonic-mean frontier traversals must
+    // find a planted multiplicative composition; the NSGA-II front must be
+    // non-empty and non-dominated.
     "q_traversals" -> ((s, dir) => {
       import s.implicits._
+      import graft.exprs._
       val base = searchBase(s, dir)
       val path = Cognito.run(base,
         Seq("text_len", "gap_secs", "roll5_mean_len", "turn_pos"),
         col("label_next_tool"), maxDepth = 2)
       val cogOk = path.nonEmpty &&
         path.sliding(2).forall { case Seq(a, b) => b.mi > a.mi; case _ => true }
+      val planted = Tables.events(s, dir).filter(col("event_id") < 2500).select(
+          (pmod(xxhash64(col("event_id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+          (pmod(xxhash64(col("event_id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"))
+        .withColumn("yb", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+      def findsMul(rule: Traversals.PopRule, runs: Int): Boolean = {
+        val res = Traversals.run(planted, Seq("x1", "x2"), col("yb"), rule,
+          maxRuns = runs, unaryOps = Seq(UnaryOp.Log, UnaryOp.MinMax),
+          binaryOps = Seq(BinOp.Mul, BinOp.Add))
+        Canon.key(res.best.expr).contains("mul") &&
+          res.best.score > res.seen.filter(_.complexity == 1).map(_.score).max
+      }
+      val globalOk = findsMul(Traversals.PopRule.BestScore, 3)
+      val harmonicOk = findsMul(Traversals.PopRule.HarmonicMean, 5)
       val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
         .select(col("event_id"), col("value").as("x1"),
           pmod(col("event_id") * 31, lit(17)).cast("double").as("x2"),
@@ -152,8 +168,8 @@ object SearchQueries {
       val nonDominated = front.forall(a => front.forall(b =>
         a == b || !(a.objectives.zip(b.objectives).forall { case (x, y) => x >= y } &&
           a.objectives.zip(b.objectives).exists { case (x, y) => x > y })))
-      Seq((b2l(cogOk), b2l(front.nonEmpty && nonDominated)))
-        .toDF("cognito_ok", "nsga2_ok")
+      Seq((b2l(cogOk), b2l(globalOk), b2l(harmonicOk), b2l(front.nonEmpty && nonDominated)))
+        .toDF("cognito_ok", "global_ok", "harmonic_ok", "nsga2_ok")
     }),
 
     // LR CV-grid scoring + AICc final selection as a planted-composition
@@ -276,7 +292,8 @@ object SearchQueries {
         "CAST(1 AS BIGINT) AS smote_ok, CAST(1 AS BIGINT) AS cnn_ok"),
 
     "q_traversals" ->
-      "SELECT CAST(1 AS BIGINT) AS cognito_ok, CAST(1 AS BIGINT) AS nsga2_ok",
+      ("SELECT CAST(1 AS BIGINT) AS cognito_ok, CAST(1 AS BIGINT) AS global_ok, " +
+        "CAST(1 AS BIGINT) AS harmonic_ok, CAST(1 AS BIGINT) AS nsga2_ok"),
 
     "q_lr_aicc" ->
       ("SELECT CAST(1 AS BIGINT) AS aicc_winner_ok, CAST(1 AS BIGINT) AS aicc_table_ok, " +
