@@ -58,43 +58,100 @@ object ScalingBench {
     }
   }
 
-  /** The measured job: read -> project-early -> window features + as-of. */
-  def flagshipJob(spark: SparkSession, nTurns: Long): DataFrame = {
-    val raw = spark.read.parquet(inputPath(nTurns))
+  /** The measured job: read -> project-early + dict-encode -> as-of ->
+    * window features -> decode.
+    *
+    * Two levers vs the round-1/2 shape (which measured 0.71 at 2v8 — the
+    * thread dumps showed every executor thread in `Platform.copyMemory`,
+    * i.e. the exchange/sort row-copy bandwidth was the ceiling):
+    *
+    *  1. DICT-ENCODE BEFORE THE SHUFFLE: `role`/`tool` cross the exchange
+    *     as 1-based tiny ints (one fixed 8-byte UnsafeRow slot instead of
+    *     8-byte offset + padded bytes), decoded back to strings only in the
+    *     final row-local projection. ~40% fewer bytes copied per row.
+    *  2. ONE EXCHANGE TOTAL: the as-of (union + window on conv_id) runs
+    *     FIRST over the narrow encoded rows; the window-feature pass needs
+    *     the same hashpartitioning(conv_id), which the as-of exchange
+    *     already established, so Catalyst inserts only a local re-sort —
+    *     the round-1 shape shuffled the full wide feature rows a second
+    *     time through the as-of union.
+    */
+  def flagshipJob(spark: SparkSession, nTurns: Long): DataFrame =
+    flagshipPipeline(spark.read.parquet(inputPath(nTurns)))
+
+  def flagshipPipeline(raw: DataFrame): DataFrame = {
+    // STATIC dictionaries: role/tool are the transcript schema's enum
+    // domains, so no fit pass runs in the pipeline at all (for open-domain
+    // columns DictEncode.fit is one batched agg, done once, not per job)
+    val roleD = graft.transforms.DictEncode.Dict("role",
+      Transcripts.RoleNames.sorted)
+    val toolD = graft.transforms.DictEncode.Dict("tool",
+      Transcripts.ToolNames.sorted)
     // EARLY PROJECTION: text never crosses the shuffle (100 TB rule: prune
     // before the exchange; the scan itself is columnar so text is read once
-    // to compute its length and dropped immediately)
+    // to compute its length and dropped immediately). The entity key crosses
+    // as a FIXED-WIDTH surrogate ("s<rank>" -> rank long: 8 bytes + radix-
+    // friendly sort prefix instead of a padded UTF8 string) — the standard
+    // 10^12-row layout keys shuffles on integer surrogates, never strings.
     val t = raw.select(
-      col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+      substring(col("conv_id"), 2, 18).cast("long").as("conv_key"),
+      col("turn_idx"),
+      roleD.encode.as("role_id"), toolD.encode.as("tool_id"),
       col("ts").cast("timestamp").as("ts"),
       length(col("text")).cast("double").as("text_len"))
-    val w = WindowFeatures.convWindow()
-    val feats = t
-      .withColumn("gap_secs", WindowFeatures.gapSecs())
-      .withColumn("prev_role", lag(col("role"), 1).over(w))
+    val right = t.filter(col("role_id") === roleD.id("tool"))
+      .select(col("conv_key"), col("ts"), col("turn_idx").cast("long").as("seq"),
+        col("text_len").as("pval"))
+    val asofed = AsOfJoin.asOf(t, right, "conv_key", Seq("pval"), col("seq"))
+    val w = WindowFeatures.convWindow("conv_key")
+    asofed
+      .withColumn("gap_secs", WindowFeatures.gapSecs("conv_key"))
+      .withColumn("prev_role_id", lag(col("role_id"), 1).over(w))
       .withColumn("roll5_mean_len", avg(col("text_len")).over(w.rowsBetween(-4, 0)))
       .withColumn("roll9_max_len", max(col("text_len")).over(w.rowsBetween(-8, 0)))
       .withColumn("run_mean_len", avg(col("text_len")).over(
         w.rowsBetween(Long.MinValue, 0)))
-      .withColumn("session_id", WindowFeatures.sessionId(1800L))
-      .withColumn("last_tool", WindowFeatures.backfill(col("tool")))
+      .withColumn("session_id", WindowFeatures.sessionId(1800L, "conv_key"))
+      .withColumn("last_tool_id", WindowFeatures.backfill(col("tool_id"), "conv_key"))
       .withColumn("lag2_len", lag(col("text_len"), 2).over(w))
-      .withColumn("lead1_role", lead(col("role"), 1).over(w))
-    val right = t.filter(col("role") === "tool")
-      .select(col("conv_id"), col("ts"), col("turn_idx").cast("long").as("seq"),
-        col("text_len").as("pval"))
-    AsOfJoin.asOf(feats, right, "conv_id", Seq("pval"), col("seq"))
+      .withColumn("lead1_role_id", lead(col("role_id"), 1).over(w))
+      // decode: row-local projection AFTER every exchange and sort
+      // (conv_id reconstructed exactly from the surrogate)
+      .select(
+        concat(lit("s"), col("conv_key").cast("string")).as("conv_id"),
+        col("turn_idx"), col("ts"), col("text_len"),
+        roleD.decode(col("role_id")).as("role"),
+        toolD.decode(col("tool_id")).as("tool"),
+        col("gap_secs"),
+        roleD.decode(col("prev_role_id")).as("prev_role"),
+        col("roll5_mean_len"), col("roll9_max_len"), col("run_mean_len"),
+        col("session_id"),
+        toolD.decode(col("last_tool_id")).as("last_tool"),
+        col("lag2_len"),
+        roleD.decode(col("lead1_role_id")).as("lead1_role"),
+        col("pval"))
   }
 
-  def measure(cores: Int, nTurns: Long, reps: Int): (Long, Double) = {
+  /** Control job: row-local hash fold over the same input — no exchange, no
+    * sort, no window. Its N-vs-4N ratio measures what THIS HOST gives a
+    * perfectly parallel scan (shared memory bandwidth, turbo, page cache),
+    * i.e. the ceiling any shuffle-bearing job should be judged against.
+    */
+  def controlJob(spark: SparkSession, nTurns: Long): DataFrame = {
+    val raw = spark.read.parquet(inputPath(nTurns))
+    raw.select(xxhash64(raw.columns.map(col): _*).as("h"))
+  }
+
+  def measure(cores: Int, nTurns: Long, reps: Int,
+      job: (SparkSession, Long) => DataFrame = flagshipJob): (Long, Double) = {
     val spark = session(cores)
     try {
       var chk = 0L
       var best = Double.MaxValue
-      Bench.force(flagshipJob(spark, nTurns)) // warmup (JIT + page cache)
+      Bench.force(job(spark, nTurns)) // warmup (JIT + page cache)
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
-        chk = Bench.force(flagshipJob(spark, nTurns))
+        chk = Bench.force(job(spark, nTurns))
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
       (chk, best)
@@ -111,15 +168,22 @@ object ScalingBench {
     materializeInput(nTurns)
     val (chkLow, secLow) = measure(lowCores, nTurns, reps)
     val (chkHigh, secHigh) = measure(highCores, nTurns, reps)
+    val (ctlChkLow, ctlLow) = measure(lowCores, nTurns, reps, controlJob)
+    val (ctlChkHigh, ctlHigh) = measure(highCores, nTurns, reps, controlJob)
     val thrLow = nTurns / secLow
     val thrHigh = nTurns / secHigh
-    val eff = thrHigh / ((highCores.toDouble / lowCores) * thrLow)
+    val ratio = highCores.toDouble / lowCores
+    val eff = thrHigh / (ratio * thrLow)
+    val ctlEff = (nTurns / ctlHigh) / (ratio * (nTurns / ctlLow))
     val json =
       s"""{"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$highCores,
          |"sec_low":$secLow,"sec_high":$secHigh,
          |"turns_per_sec_low":${thrLow.round},"turns_per_sec_high":${thrHigh.round},
          |"scaling_efficiency":${math.rint(eff * 10000) / 10000.0},
-         |"checksum_match":${chkLow == chkHigh},"reps":$reps}""".stripMargin.replace("\n", "")
+         |"control_sec_low":$ctlLow,"control_sec_high":$ctlHigh,
+         |"control_efficiency":${math.rint(ctlEff * 10000) / 10000.0},
+         |"efficiency_vs_host_ceiling":${math.rint(eff / ctlEff * 10000) / 10000.0},
+         |"checksum_match":${chkLow == chkHigh && ctlChkLow == ctlChkHigh},"reps":$reps}""".stripMargin.replace("\n", "")
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
   }

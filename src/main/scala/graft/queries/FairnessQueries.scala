@@ -88,6 +88,10 @@ object FairnessQueries {
         .withColumn("x_leak", col("prot").cast("double") * 0.8 + col("y") * 0.3)
         .withColumn("x_junk", col("u2"))
         .withColumn("ctx", (col("u1") > 0.5).cast("string"))
+        // pin partition layout: LR's treeAggregate sums floats in partition
+        // order, so an unpinned fixture could flip the gate booleans with
+        // SPARK_GRAFT_CPUS / scan split count (the Boruta lesson)
+        .repartition(4, col("event_id")).sortWithinPartitions("event_id")
       val res = FairExp.run(ev, Seq("x_fair", "x_leak", "x_junk"), "y",
         col("prot"), Seq("ctx"), f1Tolerance = 0.07)
       val biasedPair = res.visited

@@ -182,9 +182,14 @@ object SearchQueries {
       import s.implicits._
       import graft.exprs._
       val ev = Tables.events(s, dir).filter(col("event_id") < 2000).select(
+          col("event_id"),
           (pmod(xxhash64(col("event_id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
           (pmod(xxhash64(col("event_id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"))
         .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+        // pin partition layout: LR treeAggregate float sums are partition-
+        // order-sensitive; the gate booleans must not depend on cpus/splits
+        .repartition(4, col("event_id")).sortWithinPartitions("event_id")
+        .drop("event_id")
       val res = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
         CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
           unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)).run()

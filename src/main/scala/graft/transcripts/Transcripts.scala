@@ -94,8 +94,13 @@ object Transcripts {
       |  FROM events
       |)""".stripMargin
 
-  private val RoleNames = Seq("user", "assistant", "tool")
-  private val ToolNames = Seq("search", "code", "browse", "calc")
+  /** The transcript data model's enum domains (role is closed by schema;
+    * tool is closed for the synthetic generator) — public so pipelines can
+    * dictionary-encode these columns with static dictionaries instead of a
+    * fit pass ([[graft.transforms.DictEncode]]).
+    */
+  val RoleNames = Seq("user", "assistant", "tool")
+  val ToolNames = Seq("search", "code", "browse", "calc")
   private val Vocab = Seq(
     "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
     "window", "small", "hash", "join", "batch", "stream", "spark", "group",

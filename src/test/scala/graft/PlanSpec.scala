@@ -66,6 +66,30 @@ class PlanSpec extends SparkSpec {
       ref.orderBy("conv_id", "turn_idx").collect().toSeq)
   }
 
+  test("flagship pipeline: as-of + all window features share ONE exchange; strings dict-encoded") {
+    // materialize like the real bench input: the pipeline's contract is
+    // one exchange over a parquet scan (an in-memory synthetic input would
+    // duplicate its own derivation window into both union branches)
+    val dir = java.nio.file.Files.createTempDirectory("flagship_in").toString
+    Transcripts.synthetic(spark, 3000, 40).write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val out = ScalingBench.flagshipPipeline(t)
+    val p = plan(out)
+    // ONE exchange for the whole job: the as-of union shuffles the narrow
+    // encoded rows once on conv_id, and every feature window reuses that
+    // hashpartitioning with only a local re-sort
+    val exchanges = countOccurrences(p, "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected one shared conv_id exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"flagship must be join-free:\n$p")
+    // dict round-trip: decoded strings equal the raw ones on every row
+    val mismatch = out
+      .join(t.select(col("conv_id"), col("turn_idx"), col("role").as("role0"), col("tool").as("tool0")),
+        Seq("conv_id", "turn_idx"))
+      .filter(!(col("role") <=> col("role0")) || !(col("tool") <=> col("tool0")))
+      .count()
+    assert(mismatch == 0, s"dict encode/decode changed $mismatch rows")
+  }
+
   test("ngramCounts is row-local: no join, single exchange (the count groupBy)") {
     val docs = Tables.documents(spark, sf0001)
     val p = plan(graft.text.TextVectors.ngramCounts(docs, 3))
