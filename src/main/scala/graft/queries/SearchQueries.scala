@@ -193,8 +193,13 @@ object SearchQueries {
       val res = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
         CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
           unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)).run()
+      // 3-point C subgrid of the reference's 7: each grid value costs
+      // folds x champions lbfgs fits (each fit ~25 treeAggregate JOBS on a
+      // gate-sized input — the gate is job-latency-bound, not data-bound);
+      // the full DefaultGrid stays exercised in LrScorerSpec
+      val gateGrid = Seq(0.01, 1.0, 100.0).map(1.0 / _)
       val (winner, table) = LrScorer.selectByAicc(ev, res, "y",
-        folds = 3, grid = LrScorer.DefaultGrid)
+        folds = 3, grid = gateGrid)
       val winnerOk = winner.key.contains("mul")
       val winnerAicc = table.find(_._1.key == winner.key).map(_._2)
       val c1 = table.filter(_._1.complexity == 1).map(_._2)
