@@ -1,22 +1,28 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+import java.nio.{ByteBuffer, ByteOrder}
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, flowing through typed Dataset partitions.
   *
-  * The actual media codecs are NOT in this container, so [[StubDecoder]] is
-  * a clearly-marked deterministic fake (a pure function of the bytes); the
-  * Spark-side plumbing — binary schema, partition-wise batch decode via
-  * mapPartitions, typed output schema — is real and tested. Swapping in a
-  * real decoder changes one function.
+  * The decode step is REAL for the two media classes whose formats are pure
+  * byte layouts — BMP images and PCM WAV audio ([[MediaDecoder]] parses the
+  * actual headers and pixel/sample payloads, no codec library involved).
+  * Compressed/video codecs are not in this container, so `video` stays on
+  * the clearly-marked [[StubDecoder]] (a deterministic pure function of the
+  * bytes); swapping in a real codec changes one match arm.
   *
   * Scale notes: decode runs per-partition (one decoder instance per task,
   * amortized over the batch), never per-row-lambda-per-field; binary columns
   * are never shuffled post-decode (features only).
   */
 object Multimodal {
+
+  final case class MediaRow(
+      doc_id: Long, text: String, media_type: String, content: Array[Byte])
 
   final case class MediaFeatures(
       doc_id: Long,
@@ -32,11 +38,135 @@ object Multimodal {
     def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Double)
   }
 
+  /** Deterministic synthesis of REAL media files from seed bytes — the test
+    * stand-in for reading actual blobs. Both formats are written with the
+    * standard headers a third-party tool would accept.
+    */
+  object MediaSynth {
+    /** 24-bit uncompressed BMP: width = |seed|, height = |seed| % 8 + 1,
+      * every row the grayscale seed (pixel c = (s_c, s_c, s_c)), rows padded
+      * to 4 bytes per the format. Mean over pixel channel bytes == mean of
+      * the seed bytes (replicated rows and equal channels cancel).
+      */
+    def bmp(seed: Array[Byte]): Array[Byte] = {
+      val w = seed.length
+      val h = seed.length % 8 + 1
+      val stride = (w * 3 + 3) / 4 * 4
+      val dataSize = stride * h
+      val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+        .putInt(54 + dataSize).putInt(0).putInt(54)                   // file header
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)      // BITMAPINFOHEADER
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) { val b = seed(c); buf.put(b).put(b).put(b); c += 1 }
+        var p = w * 3
+        while (p < stride) { buf.put(0.toByte); p += 1 }
+        r += 1
+      }
+      buf.array()
+    }
+
+    /** PCM WAV, 16-bit mono 8000 Hz: sample i = (seed_i - 128) << 8, so the
+      * decoded per-sample byte value round-trips exactly.
+      */
+    def wav(seed: Array[Byte]): Array[Byte] = {
+      val dataLen = 2 * seed.length
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      seed.foreach(b => buf.putShort((((b & 0xff) - 128) << 8).toShort))
+      buf.array()
+    }
+  }
+
+  /** REAL header+payload parsers for the byte-layout formats.
+    *
+    *  - image (BMP): signature, data offset, width/height/bpp from the
+    *    BITMAPINFOHEADER; mean over pixel channel bytes, stride padding
+    *    excluded. (width, height, 1, pixel mean)
+    *  - audio (WAV): RIFF/WAVE chunk walk; fmt -> channels/rate/bits,
+    *    data -> frame count; mean of per-sample (s >> 8) + 128 (the unsigned
+    *    high byte). (channels, bitsPerSample, frames, sample-byte mean)
+    *  - video: no pure-byte video format exists without codecs -> StubDecoder.
+    *
+    * Malformed input fails loudly (require), never silently misparses.
+    */
+  object MediaDecoder extends Decoder {
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Double) =
+      mediaType match {
+        case "image" => decodeBmp(bytes)
+        case "audio" => decodeWav(bytes)
+        case _       => StubDecoder.decode(mediaType, bytes)
+      }
+
+    private def decodeBmp(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+      val dataOffset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      val bpp = buf.getShort(28)
+      require(bpp == 24, s"unsupported bpp $bpp")
+      require(w > 0 && h != 0, s"bad dims ${w}x$h")
+      val rows = math.abs(h)
+      val stride = (w * 3 + 3) / 4 * 4
+      require(bytes.length >= dataOffset + stride * rows, "truncated pixel data")
+      var sum = 0L
+      var r = 0
+      while (r < rows) {
+        val base = dataOffset + r * stride
+        var c = 0
+        while (c < w * 3) { sum += bytes(base + c) & 0xff; c += 1 }
+        r += 1
+      }
+      (w, rows, 1, sum.toDouble / (w.toLong * rows * 3))
+    }
+
+    private def decodeWav(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 44 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a WAV")
+      var pos = 12
+      var channels = 0; var bits = 0; var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val size = buf.getInt(pos + 4)
+        id match {
+          case "fmt " =>
+            require(buf.getShort(pos + 8) == 1, "not PCM")
+            channels = buf.getShort(pos + 10)
+            bits = buf.getShort(pos + 22)
+          case "data" => dataOff = pos + 8; dataLen = size
+          case _ =>
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(channels > 0 && bits == 16 && dataOff >= 0, "missing fmt/data chunk")
+      val blockAlign = channels * bits / 8
+      val frames = dataLen / blockAlign
+      var sum = 0L
+      var i = 0
+      while (i < frames * channels) {
+        sum += (buf.getShort(dataOff + 2 * i) >> 8) + 128
+        i += 1
+      }
+      (channels, bits, frames,
+        if (frames == 0) 0.0 else sum.toDouble / (frames.toLong * channels))
+    }
+  }
+
   /** STUB: deterministic fake decoder — a pure function of the byte
-    * content standing in for the absent image/audio libs. width/height/
-    * frames are derived from the length; decoded_mean is the mean of the
-    * first 16 bytes (so correctness of the plumbing is still checkable
-    * end-to-end against an independent engine).
+    * content standing in for absent codecs (only `video` uses it now).
+    * width/height/frames derive from the length; decoded_mean is the mean
+    * of the first 16 bytes, so plumbing correctness stays checkable
+    * end-to-end against an independent engine.
     */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Double) = {
@@ -48,18 +178,35 @@ object Multimodal {
     }
   }
 
-  /** Attach a binary media column (UTF-8 bytes of text stand in for real
-    * blobs) + a media_type derived from the id.
+  /** Attach a binary media column: REAL BMP / WAV bytes synthesized
+    * deterministically from the document text (`video` keeps the raw seed
+    * bytes for the stub), media_type from the id. Generation is partition-
+    * wise and distributed — no driver-side data.
     */
-  def attachBinary(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    docs.select(
-      col(id), col(text),
-      encode(col(text), "UTF-8").as("content"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (pmod(col(id), lit(3)) + 1).cast("int")).as("media_type"))
+  def attachBinary(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, t) =>
+          val seed = t.getBytes("UTF-8")
+          val mt = (docId % 3) match {
+            case 0 => "image"
+            case 1 => "audio"
+            case _ => "video"
+          }
+          val content = mt match {
+            case "image" => MediaSynth.bmp(seed)
+            case "audio" => MediaSynth.wav(seed)
+            case _       => seed
+          }
+          MediaRow(docId, t, mt, content)
+        }
+      }.toDF()
+  }
 
   /** Partition-wise decode: binary rows -> typed feature rows. */
-  def extractFeatures(media: DataFrame, decoder: Decoder = StubDecoder,
+  def extractFeatures(media: DataFrame, decoder: Decoder = MediaDecoder,
       id: String = "doc_id"): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
