@@ -86,7 +86,40 @@ object WindowQueries {
     // identical semantics, third physical shape: right side collapses to
     // per-entity sorted arrays and broadcasts; the 100 TB left side never
     // shuffles; visibility via the codegen'd AsOfLessOrEqual expression
-    "q_asof_broadcast" -> ((s, dir) => asofResult(s, dir, Variant.Broadcast))
+    "q_asof_broadcast" -> ((s, dir) => asofResult(s, dir, Variant.Broadcast)),
+
+    // Structured Streaming under the DuckDB gate: the SAME per-turn running
+    // features (gap, running count/mean, last-tool backfill, gap sessions)
+    // computed INCREMENTALLY by flatMapGroupsWithState over a 2-micro-batch
+    // MemoryStream (state carries across the batch boundary), checked
+    // against the batch window-function oracle — streaming == batch,
+    // row-for-row, in SQL.
+    "q_streaming" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      def micros(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      val turns = T(s, dir).as[graft.transcripts.Turn].collect()
+        .sortBy(t => (micros(t.ts), t.turn_idx))
+      val (first, second) = turns.splitAt(turns.length / 2)
+      val stream =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
+      val qn = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamingFeatures.runningFeatures(stream.toDS())
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      stream.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop() // memory sink keeps its rows; the temp view stays readable
+      s.table(qn).select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col6(col("gap_secs")).as("gap_secs"),
+        col("turns_so_far"),
+        col6(col("run_mean_len")).as("run_mean_len"),
+        col("last_tool"),
+        col("session_id").cast("long").as("session_id"))
+    })
   )
 
   private object Variant extends Enumeration { val Shuffle, Skew, Broadcast = Value }
@@ -194,6 +227,23 @@ object WindowQueries {
 
     "q_asof_join" -> asofSql,
     "q_asof_skew" -> asofSql,
-    "q_asof_broadcast" -> asofSql
+    "q_asof_broadcast" -> asofSql,
+
+    "q_streaming" ->
+      s"""$cte,
+         |g AS (
+         |  SELECT conv_id, turn_idx, tool, ts, LENGTH(text) AS len,
+         |         (epoch_us(ts) - LAG(epoch_us(ts)) OVER ($wSql)) / 1e6 AS gap
+         |  FROM transcripts)
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |       FLOOR(CAST(gap AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gap_secs,
+         |       CAST(turn_idx + 1 AS BIGINT) AS turns_so_far,
+         |       FLOOR(CAST((AVG(CAST(len AS DOUBLE)) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS run_mean_len,
+         |       LAST_VALUE(tool IGNORE NULLS) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tool,
+         |       CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |FROM g""".stripMargin
   )
 }
