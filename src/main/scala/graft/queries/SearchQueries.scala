@@ -125,8 +125,17 @@ object SearchQueries {
       val smoteOk = sm(1.0).toDouble / sm(0.0) > 0.7
       val protos = Sampling.condensedNearestNeighbour(imb, Seq("x1"), "ym")
       val cnnOk = protos.count() < 200 && protos.select("ym").distinct().count() == 2
-      Seq((b2l(rfeOk), b2l(borutaOk), b2l(reliefOk), b2l(sissoOk), b2l(smoteOk), b2l(cnnOk)))
-        .toDF("rfe_ok", "boruta_ok", "relief_ok", "sisso_ok", "smote_ok", "cnn_ok")
+      // redundancy removal: x4 is an exact affine image of x1 -> the greedy
+      // pass must reduce the collinear pair to ONE member (it checks x1
+      // first, so x1 is the one dropped); independent x2 must survive
+      val red = FeatureSelection.redundancyRemoval(
+        ev.withColumn("x4", col("x1") * 2.0 + 5.0), Seq("x1", "x2", "x4"))
+      val redundancyOk = red.contains("x2") &&
+        Seq("x1", "x4").count(red.contains) == 1
+      Seq((b2l(rfeOk), b2l(borutaOk), b2l(reliefOk), b2l(sissoOk), b2l(smoteOk),
+          b2l(cnnOk), b2l(redundancyOk)))
+        .toDF("rfe_ok", "boruta_ok", "relief_ok", "sisso_ok", "smote_ok",
+          "cnn_ok", "redundancy_ok")
     }),
 
     // Alternative-traversal + evolutionary properties as a 1-row gate:
@@ -299,7 +308,8 @@ object SearchQueries {
     "q_selectors" ->
       ("SELECT CAST(1 AS BIGINT) AS rfe_ok, CAST(1 AS BIGINT) AS boruta_ok, " +
         "CAST(1 AS BIGINT) AS relief_ok, CAST(1 AS BIGINT) AS sisso_ok, " +
-        "CAST(1 AS BIGINT) AS smote_ok, CAST(1 AS BIGINT) AS cnn_ok"),
+        "CAST(1 AS BIGINT) AS smote_ok, CAST(1 AS BIGINT) AS cnn_ok, " +
+        "CAST(1 AS BIGINT) AS redundancy_ok"),
 
     "q_traversals" ->
       ("SELECT CAST(1 AS BIGINT) AS cognito_ok, CAST(1 AS BIGINT) AS global_ok, " +
