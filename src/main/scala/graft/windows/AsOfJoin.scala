@@ -115,6 +115,16 @@ object AsOfJoin {
 
   /** Skew-resistant as-of join: event-time range buckets + carry-in stitch.
     *
+    * WHEN to use it (measured, `graft.SkewBench`, checksum-identical to
+    * [[asOf]] in every configuration): the bucketed path pays a constant
+    * stitch overhead (per-bucket aggregate + carry-in broadcast), so it
+    * LOSES while the hottest key's row count still fits one core's fair
+    * share (hot=20% of 8M rows, 8 cores: 0.65x) and wins decisively once a
+    * single key dominates the stage (hot=60%: 2.16x; at real cluster widths
+    * one-task-per-key serialization makes the gap unbounded). Pick per key
+    * histogram: route to asOfSkew when max(rows per entity) exceeds roughly
+    * totalRows / parallelism.
+    *
     * @param numBuckets number of time buckets to cut `[minTs, maxTs]` into;
     *                   the hot entity's window work fans out over up to this
     *                   many tasks
