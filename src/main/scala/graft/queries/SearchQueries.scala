@@ -181,6 +181,47 @@ object SearchQueries {
         .toDF("cognito_ok", "global_ok", "harmonic_ok", "nsga2_ok")
     }),
 
+    // Search-mechanics properties as a 1-row gate: the affine skip rule
+    // (MinMax children enter the pool as inherited and can never pass the
+    // epsilon gate themselves), the non-improving stop rule (a search whose
+    // signal is exhausted at complexity 3 must stop before cMax), the
+    // harmonic auto-stop (same champion, fewer layers), and repeated-CV
+    // stability (fold-salt re-scoring of a strong feature is tight).
+    "q_search_props" -> ((s, dir) => {
+      import s.implicits._
+      import graft.exprs._
+      val ev = Tables.events(s, dir).filter(col("event_id") < 2500).select(
+          col("event_id"),
+          (pmod(xxhash64(col("event_id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+          (pmod(xxhash64(col("event_id") + 3), lit(100)).cast("double") / 100 + 0.5).as("x2"))
+        .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+        .repartition(4, col("event_id")).sortWithinPartitions("event_id")
+        .drop("event_id")
+      // stopAfterNonImproving = 2 (the reference default): layer 2 is all
+      // affine children (no improvement possible), the mul signal lands at
+      // layer 3, and the search must then stop at layer 5 — before cMax=6
+      val base = CdfcConfig(cMax = 6, binaryOps = Seq(BinOp.Mul),
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty,
+        stopAfterNonImproving = 2)
+      val res = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"), base).run()
+      val inheritedRows = res.survivors.filter(_.inherited)
+      val skipOk = inheritedRows.nonEmpty && inheritedRows.forall(!_.passed)
+      val stopOk = res.layers.size < base.cMax &&
+        res.best.key.contains("mul")
+      val resH = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
+        base.copy(harmonicStop = true)).run()
+      // the harmonic stop may cut a layer earlier, and a later layer can
+      // contain an equal-scoring rewrite of the champion — so pin "stops no
+      // later AND still lands on the planted composition", not key equality
+      val autoStopOk = resH.layers.size <= res.layers.size &&
+        resH.best.key.contains("mul")
+      val cv = ev.withColumn("prod", col("x1") * col("x2"))
+      val (mu, sd) = LrScorer.repeatedCv(cv, Seq("prod"), "y", repeats = 3, folds = 3)
+      val repeatedOk = mu > 0.9 && sd < 0.05
+      Seq((b2l(skipOk), b2l(stopOk), b2l(autoStopOk), b2l(repeatedOk)))
+        .toDF("skip_ok", "stop_ok", "autostop_ok", "repeated_cv_ok")
+    }),
+
     // LR CV-grid scoring + AICc final selection as a planted-composition
     // 1-row gate (reference: run_evaluation.py:142-243 grid CV and
     // ComplexityDrivenFeatureConstruction.py:754-802 AICc pick): the label
@@ -318,6 +359,10 @@ object SearchQueries {
     "q_lr_aicc" ->
       ("SELECT CAST(1 AS BIGINT) AS aicc_winner_ok, CAST(1 AS BIGINT) AS aicc_table_ok, " +
         "CAST(1 AS BIGINT) AS aicc_argmin_ok"),
+
+    "q_search_props" ->
+      ("SELECT CAST(1 AS BIGINT) AS skip_ok, CAST(1 AS BIGINT) AS stop_ok, " +
+        "CAST(1 AS BIGINT) AS autostop_ok, CAST(1 AS BIGINT) AS repeated_cv_ok"),
 
     "q_resume" ->
       "SELECT CAST(1 AS BIGINT) AS resume_ok, CAST(1 AS BIGINT) AS best_ok",
