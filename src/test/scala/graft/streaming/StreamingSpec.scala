@@ -91,4 +91,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("broadcast as-of runs UNCHANGED on a stream and equals the batch as-of") {
+    // asOfBroadcast is a stateless projection over a stream-static broadcast
+    // join (no state store, no watermark needed), so a live transcript feed
+    // can attach dimension history per-row with zero stream-side shuffle —
+    // the same code path as batch, literally the same function.
+    implicit val sqlCtx = spark.sqlContext
+    val right = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"), col("value").as("pval"))
+    def narrow(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("conv_id"), col("turn_idx"), col("ts"))
+    val batchOut = graft.windows.AsOfJoin
+      .asOfBroadcast(narrow(batchTurns), right, "conv_id", Seq("pval"), col("event_id"))
+      .collect().map(_.toSeq).toSet
+
+    val turns = batchTurns.as[Turn].collect().toIndexedSeq
+    val stream = MemoryStream[Turn]
+    val streamedDf = graft.windows.AsOfJoin
+      .asOfBroadcast(narrow(stream.toDS().toDF()), right, "conv_id", Seq("pval"), col("event_id"))
+    val q = streamedDf.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    stream.addData(turns.take(turns.size / 2))
+    q.processAllAvailable()
+    stream.addData(turns.drop(turns.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batchOut)
+    assert(streamed.nonEmpty)
+  }
 }
