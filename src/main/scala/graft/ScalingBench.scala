@@ -35,6 +35,7 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cores * 8)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "32m")
       // shuffle files on tmpfs: the sandbox's single virtual disk serializes
@@ -161,7 +162,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nTurns = args.headOption.map(_.toLong).getOrElse(16000000L)
     val outJson = args.lift(1).getOrElse("/root/repo/BENCH_SCALING.json")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val lowCores = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
     val highCores = sys.env.getOrElse("SPARK_GRAFT_4N", "32").toInt
 

@@ -69,7 +69,7 @@ object SkewBench {
     val nTurns = args.headOption.map(_.toLong).getOrElse(8000000L)
     val hotPct = args.lift(1).map(_.toInt).getOrElse(20)
     val outJson = args.lift(2).getOrElse("/root/repo/BENCH_SKEW.json")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
 
     val spark = ScalingBench.session(cores)

@@ -14,6 +14,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR + per-fit pools: concurrent model-fit jobs share the executor
+      // instead of queueing behind one long job (see search.FitPool)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -56,6 +56,42 @@ object Dedup {
       .select(col(id), col("keep_id"), (col(id) =!= col("keep_id")).cast("int").as("is_dup"))
   }
 
+  /** The DEFAULT exact-dedup path at scale: [[exactByFingerprint]] grouping
+    * (24-byte shuffle payload) plus literal-certainty blob re-verification
+    * of the survivor groups only. Rows in multi-member fingerprint groups —
+    * the only place a collision could hide — are semi-joined back to their
+    * text and compared to the keeper's text IN-PLAN: any fingerprint
+    * collision between non-identical texts fails the job loudly
+    * (`raise_error`) instead of silently mis-deduping. The text payload
+    * moves only for those group members, never for the full corpus; the
+    * main exchange stays fingerprint-sized.
+    *
+    * Output adds a constant `verified = 1` column (it exists so the
+    * verification branch cannot be pruned out of the plan; a collision
+    * turns the whole query red via the error, not via the value).
+    */
+  def exactVerified(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val base = docs.select(col(id), col(text))
+    val fp = exactByFingerprint(docs, id, text)
+    val dups = fp.filter(col("is_dup") === 1).select(col(id), col("keep_id"))
+    val ids = dups.select(col(id))
+      .unionByName(dups.select(col("keep_id").as(id))).distinct()
+    // only multi-member groups' blobs ever move
+    val groupTexts = base.join(ids, Seq(id), "left_semi")
+    val checked = dups
+      .join(groupTexts, Seq(id))
+      .join(groupTexts.select(col(id).as("keep_id"), col(text).as("__kt")), Seq("keep_id"))
+      .select(col(id).as(id),
+        when(col(text) === col("__kt"), lit(1))
+          .otherwise(raise_error(concat(
+            lit("exact-dedup fingerprint collision at id="), col(id).cast("string"))))
+          .cast("int").as("__verified"))
+    fp.join(checked, Seq(id), "left")
+      .select(col(id), col("keep_id"), col("is_dup"),
+        coalesce(col("__verified"), lit(1)).cast("long").as("verified"))
+  }
+
   /** (doc_id, shingle): 3-token shingle codes — the modular polynomial
     * ((t1*131 + t2) mod P * 131 + t3) mod P over the portable per-token
     * hashes ([[TextFeatures.tokenHash]], P < 2^53 so t*131 fits in Long).

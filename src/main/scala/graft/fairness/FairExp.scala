@@ -102,9 +102,13 @@ object FairExp {
     var improvedRod = true
     while (improvedRod && current.size > 1) {
       improvedRod = false
-      val options = current.map { g =>
-        eval(current.filterNot(_ == g))
+      // the leave-one-out evaluations of a round are independent -> fit
+      // concurrently (reference n_jobs knob); append to `visited` in task
+      // order so the Pareto front is identical to the sequential loop
+      val options = graft.search.FitPool.map(df.sparkSession, "fairexp", current) { g =>
+        evaluate(df, current.filterNot(_ == g), labelCol, isProtected, admissible)
       }
+      options.foreach(visited += _)
       val ok = options.filter(o => o.f1 >= bestF1 - f1Tolerance)
       val better = ok.filter(_.rod > curEval.rod) // ROD is negative; closer to 0 = fairer
       if (better.nonEmpty) {

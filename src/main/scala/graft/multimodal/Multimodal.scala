@@ -138,6 +138,9 @@ object Multimodal {
       while (pos + 8 <= bytes.length) {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val size = buf.getInt(pos + 4)
+        // a hostile/corrupt size field must fail loudly, not loop forever
+        // or read past the buffer in the data pass
+        require(size >= 0 && pos + 8 + size <= bytes.length, s"bad chunk size $size at $pos")
         id match {
           case "fmt " =>
             require(buf.getShort(pos + 8) == 1, "not PCM")

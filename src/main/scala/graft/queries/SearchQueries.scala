@@ -254,8 +254,20 @@ object SearchQueries {
       val winnerAicc = table.find(_._1.key == winner.key).map(_._2)
       val c1 = table.filter(_._1.complexity == 1).map(_._2)
       val argminOk = winnerAicc.exists(w => c1.nonEmpty && c1.forall(w < _))
-      Seq((b2l(winnerOk), b2l(table.size >= 2), b2l(argminOk)))
-        .toDF("aicc_winner_ok", "aicc_table_ok", "aicc_argmin_ok")
+      // full additional-metric suite (run_evaluation.py:83-138) on the
+      // winner, weak regularization so the 0.5 hard threshold is calibrated:
+      // y is a function of the winner's value, so consistency must be
+      // exactly 1; information criteria obey AICc>=AIC, BIC>AIC (ln n > 2),
+      // and the complexity-k variant exceeds the feature-count-k variant
+      val wname = graft.exprs.Lower.alias(winner.expr)
+      val mat = LayerBuilder.select(ev, Seq("y"), Seq(wname -> winner.expr), res.fit)
+      val ms = LrScorer.score(mat, Seq(wname), "y", folds = 3, grid = Seq(0.01),
+        complexity = winner.complexity)
+      val metricsOk = ms.accuracy > 0.8 && ms.f1 > 0.8 && ms.consistency == 1.0
+      val icOk = ms.aiccFeat >= ms.aicFeat && ms.aiccComp >= ms.aicComp &&
+        ms.bicFeat > ms.aicFeat && ms.aicComp > ms.aicFeat
+      Seq((b2l(winnerOk), b2l(table.size >= 2), b2l(argminOk), b2l(metricsOk), b2l(icOk)))
+        .toDF("aicc_winner_ok", "aicc_table_ok", "aicc_argmin_ok", "metrics_ok", "ic_ok")
     }),
 
     // Checkpoint resumability under the driver gate (north rule: resumable
@@ -358,7 +370,8 @@ object SearchQueries {
 
     "q_lr_aicc" ->
       ("SELECT CAST(1 AS BIGINT) AS aicc_winner_ok, CAST(1 AS BIGINT) AS aicc_table_ok, " +
-        "CAST(1 AS BIGINT) AS aicc_argmin_ok"),
+        "CAST(1 AS BIGINT) AS aicc_argmin_ok, CAST(1 AS BIGINT) AS metrics_ok, " +
+        "CAST(1 AS BIGINT) AS ic_ok"),
 
     "q_search_props" ->
       ("SELECT CAST(1 AS BIGINT) AS skip_ok, CAST(1 AS BIGINT) AS stop_ok, " +

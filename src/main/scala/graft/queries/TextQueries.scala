@@ -17,9 +17,13 @@ object TextQueries {
   private val stop = TextFeatures.Lexicons.find(_._1 == "en").get._2
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // gated default is the SCALE path: fingerprint grouping (24-byte shuffle
+    // payload, no text in the exchange — PlanSpec asserts it) + in-plan blob
+    // re-verification of survivor groups; the oracle recomputes the result
+    // from raw text, so fp-grouping == text-grouping is what goes green
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(docs(s, dir)).select(col("doc_id"), col("keep_id"),
-        col("is_dup").cast("long").as("is_dup"))),
+      Dedup.exactVerified(docs(s, dir)).select(col("doc_id"), col("keep_id"),
+        col("is_dup").cast("long").as("is_dup"), col("verified"))),
 
     "q_text_stats" -> ((s, dir) =>
       TextFeatures.stats(docs(s, dir), stop)
@@ -78,7 +82,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
-        |       CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |       CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |       CAST(1 AS BIGINT) AS verified
         |FROM documents""".stripMargin,
 
     "q_text_stats" ->

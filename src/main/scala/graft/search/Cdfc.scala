@@ -56,10 +56,17 @@ final case class Scored(
     passed: Boolean,
     inherited: Boolean)
 
+/** Per-layer accounting. `dropped` counts candidates past `maxLayerWidth`
+  * that were cut BEFORE evaluation — never silently: the overflow order is
+  * deterministic (best-parent score desc, canonical key asc) and the count
+  * is recorded here and logged.
+  */
+final case class LayerLog(complexity: Int, enumerated: Int, survived: Int, dropped: Int)
+
 final case class CdfcResult(
     best: Scored,
     survivors: Seq[Scored],
-    layers: Seq[(Int, Int, Int)], // (complexity, enumerated, survived)
+    layers: Seq[LayerLog],
     fit: FitStats)
 
 final class Cdfc(
@@ -86,7 +93,7 @@ final class Cdfc(
     val profiles = collection.mutable.HashMap[String, ColumnProfile]()
     var fit = FitStats.empty
     val survivors = collection.mutable.ArrayBuffer[Scored]()
-    val layerLog = collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    val layerLog = collection.mutable.ArrayBuffer[LayerLog]()
     // per-complexity candidate pool for enumeration (passed candidates only,
     // reference buckets `cost_2_*`, `ComplexityDrivenFeatureConstruction.py:572-589`)
     val byComplexity = collection.mutable.HashMap[Int, Vector[FeatureExpr]]().withDefaultValue(Vector.empty)
@@ -265,13 +272,24 @@ final class Cdfc(
     while (layer <= cfg.cMax && nonImproving < cfg.stopAfterNonImproving && !harmonicStopHit) {
       val t0 = System.nanoTime()
       val enumerated = enumerateLayer(layer, oneHots)
-      val fresh = enumerated.filter { e =>
+      val freshAll = enumerated.filter { e =>
         val k = Canon.key(e)
         !Canon.isConstant(e) && !seen.contains(k) && applicable(e)
-      }.distinctBy(Canon.key).take(cfg.maxLayerWidth)
+      }.distinctBy(Canon.key)
+      // width cap: never a silent enumeration-order truncation — overflow is
+      // ordered deterministically by best-parent score (promising parents
+      // first, canonical key as the tie-break), and the drop is counted in
+      // the layer log and announced
+      val fresh =
+        if (freshAll.size <= cfg.maxLayerWidth) freshAll
+        else freshAll.sortBy(e => (-maxParentScore(e), Canon.key(e))).take(cfg.maxLayerWidth)
+      val dropped = freshAll.size - fresh.size
+      if (dropped > 0)
+        System.err.println(s"[cdfc] layer $layer: maxLayerWidth=${cfg.maxLayerWidth} " +
+          s"dropped $dropped of ${freshAll.size} candidates (kept top by parent score)")
       val survivedBefore = survivors.size
       evaluate(fresh, layer)
-      layerLog += ((layer, enumerated.size, survivors.size - survivedBefore))
+      layerLog += LayerLog(layer, enumerated.size, survivors.size - survivedBefore, dropped)
       commitLayer(layer, survivors.drop(survivedBefore).toSeq, t0)
       val newBest = survivors.maxByOption(_.score)
       if (newBest.map(_.score) == best.map(_.score)) nonImproving += 1

@@ -18,10 +18,42 @@ import org.apache.spark.sql.functions._
   * k)`) — never randomSplit, which is not reproducible under repartition.
   * Repeated-CV stability (`multiple_cv_scikit.py`) = the same scoring under
   * different fold salts.
+  *
+  * Parallelism: the folds-by-grid fits have no data dependency, so they are
+  * submitted CONCURRENTLY from driver threads ([[FitPool]]) — the
+  * reference's `n_jobs` model-fit parallelism knob. Results are combined in
+  * task order, so values are byte-identical to the sequential loop.
   */
 object LrScorer {
 
-  final case class LrScore(auc: Double, rss: Double, n: Long)
+  /** CV summary for the best grid point, carrying the reference's full
+    * additional-metric suite (`run_evaluation.py:83-138`, means over the
+    * test folds of the winning grid config):
+    *  - accuracy / f1: hard predictions at p > 0.5 (sklearn predict)
+    *  - rss / n: out-of-fold squared probability residuals (`calculate_rss`)
+    *  - consistency: fraction of test rows whose feature tuple maps to a
+    *    single label (`calculate_consistency`)
+    *  - AIC/AICc/BIC, two k conventions: `k = #features` (feature_number)
+    *    and `k = complexity + #features + 1` (complexity) — per fold with
+    *    that fold's (rss, n), then meaned, as the reference keeps them.
+    */
+  final case class LrScore(
+      auc: Double,
+      rss: Double,
+      n: Long,
+      accuracy: Double = Double.NaN,
+      f1: Double = Double.NaN,
+      consistency: Double = Double.NaN,
+      aicFeat: Double = Double.NaN,
+      aiccFeat: Double = Double.NaN,
+      bicFeat: Double = Double.NaN,
+      aicComp: Double = Double.NaN,
+      aiccComp: Double = Double.NaN,
+      bicComp: Double = Double.NaN)
+
+  private final case class FoldStats(
+      auc: Double, rss: Double, n: Long,
+      accuracy: Double, f1: Double, consistency: Double)
 
   /** Reference default LR grid: 7 C values (`ComplexityDrivenFeature
     * Construction.py:40-47`), C = 1/regParam.
@@ -31,9 +63,55 @@ object LrScorer {
   def foldCol(salt: Int, k: Int): Column =
     pmod(xxhash64(struct(col("*")), lit(salt)), lit(k)).cast("int")
 
+  /** One (grid value, fold) fit + its out-of-fold metric aggregates: the
+    * model fit, the AUC sweep, ONE metric aggregation over the predictions,
+    * and ONE consistency aggregation over the fold's feature tuples.
+    */
+  private def fitFold(
+      df: DataFrame,
+      assembler: VectorAssembler,
+      featureCols: Seq[String],
+      reg: Double,
+      f: Int): FoldStats = {
+    val train = assembler.transform(df.filter(col("fold") =!= f))
+    val test = assembler.transform(df.filter(col("fold") === f))
+    val model = new LogisticRegression()
+      .setRegParam(reg).setMaxIter(50).setTol(1e-6)
+      .fit(train)
+    val pred = model.transform(test)
+    val auc = new BinaryClassificationEvaluator()
+      .setRawPredictionCol("probability").setMetricName("areaUnderROC")
+      .evaluate(pred)
+    val hard = (vectorElement(col("probability"), 1) > 0.5).cast("double")
+    val m = pred
+      .select(vectorElement(col("probability"), 1).as("p"), col("label"), hard.as("yh"))
+      .agg(
+        sum(pow(col("label") - col("p"), 2)).as("rss"),
+        count(lit(1)).as("n"),
+        avg((col("yh") === col("label")).cast("double")).as("acc"),
+        sum(when(col("yh") === 1.0 && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("yh") === 1.0 && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("yh") === 0.0 && col("label") === 1.0, 1L).otherwise(0L)).as("fn"))
+      .head()
+    val (tp, fp, fn) = (m.getAs[Long]("tp"), m.getAs[Long]("fp"), m.getAs[Long]("fn"))
+    val f1 = if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2.0 * tp + fp + fn)
+    val cons = test
+      .groupBy(featureCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), countDistinct(col("label")).as("__d"))
+      .agg((sum(when(col("__d") === 1, col("__n")).otherwise(0L)).cast("double") /
+        sum(col("__n"))).as("c"))
+      .head().getDouble(0)
+    FoldStats(auc, m.getAs[Double]("rss"), m.getAs[Long]("n"),
+      m.getAs[Double]("acc"), f1, cons)
+  }
+
   /** CV-score one candidate set: per grid value, k-fold CV AUC; keep the
-    * best mean; rss accumulated from the best grid's out-of-fold
-    * probabilities (the reference's `rss` additional metric).
+    * best mean; the full per-fold metric suite comes from the best grid's
+    * out-of-fold predictions. All folds-by-grid fits submit concurrently.
+    *
+    * @param complexity representation complexity of the candidate set, used
+    *                   by the `*_complexity` information criteria
+    *                   (`k = complexity + #features + 1`)
     */
   def score(
       dfIn: DataFrame,
@@ -41,7 +119,8 @@ object LrScorer {
       labelCol: String,
       folds: Int = 5,
       grid: Seq[Double] = Seq(1.0),
-      saltSeed: Int = 42): LrScore = {
+      saltSeed: Int = 42,
+      complexity: Int = 0): LrScore = {
     val df = dfIn
       // fold hash over the FULL input row (feature-only hashes collapse
       // low-cardinality features into single folds)
@@ -51,31 +130,35 @@ object LrScorer {
       .na.drop()
       .cache()
     try {
+      df.count() // materialize the cache once, before the concurrent fits race to build it
       val assembler = new VectorAssembler()
         .setInputCols(featureCols.toArray).setOutputCol("features")
-      val evaluator = new BinaryClassificationEvaluator()
-        .setRawPredictionCol("probability").setMetricName("areaUnderROC")
-
-      val byGrid = grid.map { reg =>
-        val perFold = (0 until folds).map { f =>
-          val train = assembler.transform(df.filter(col("fold") =!= f))
-          val test = assembler.transform(df.filter(col("fold") === f))
-          val model = new LogisticRegression()
-            .setRegParam(reg).setMaxIter(50).setTol(1e-6)
-            .fit(train)
-          val pred = model.transform(test)
-          val auc = evaluator.evaluate(pred)
-          val Seq(rss, n) = pred
-            .select(vectorElement(col("probability"), 1).as("p"), col("label"))
-            .agg(sum(pow(col("label") - col("p"), 2)), count(lit(1)))
-            .head().toSeq.map(x => x.toString.toDouble)
-          (auc, rss, n)
-        }
-        val meanAuc = perFold.map(_._1).sum / folds
-        (meanAuc, perFold.map(_._2).sum, perFold.map(_._3).sum.toLong)
+      val tasks = for (reg <- grid; f <- 0 until folds) yield (reg, f)
+      val stats = FitPool.map(df.sparkSession, "lr-cv", tasks) { case (reg, f) =>
+        fitFold(df, assembler, featureCols, reg, f)
       }
-      val best = byGrid.maxBy(_._1)
-      LrScore(best._1, best._2, best._3)
+      val perGrid = grid.indices.map(gi => stats.slice(gi * folds, (gi + 1) * folds))
+      val best = perGrid.maxBy(per => per.map(_.auc).sum / folds)
+
+      def mean(g: FoldStats => Double): Double = best.map(g).sum / folds
+      val kF = featureCols.size.toDouble
+      val kC = complexity + featureCols.size + 1.0
+      def aicOf(s: FoldStats, k: Double) =
+        2 * k + s.n * math.log(math.max(s.rss, 1e-12) / s.n)
+      def aiccOf(s: FoldStats, k: Double) =
+        aicOf(s, k) + (2 * k * (k + 1)) / math.max(s.n - k - 1, 1.0)
+      def bicOf(s: FoldStats, k: Double) =
+        math.log(s.n.toDouble) * k + s.n * math.log(math.max(s.rss, 1e-12) / s.n)
+
+      LrScore(
+        auc = mean(_.auc),
+        rss = best.map(_.rss).sum,
+        n = best.map(_.n).sum,
+        accuracy = mean(_.accuracy),
+        f1 = mean(_.f1),
+        consistency = mean(_.consistency),
+        aicFeat = mean(aicOf(_, kF)), aiccFeat = mean(aiccOf(_, kF)), bicFeat = mean(bicOf(_, kF)),
+        aicComp = mean(aicOf(_, kC)), aiccComp = mean(aiccOf(_, kC)), bicComp = mean(bicOf(_, kC)))
     } finally df.unpersist()
   }
 
@@ -83,11 +166,11 @@ object LrScorer {
     element_at(org.apache.spark.ml.functions.vector_to_array(v), i + 1)
 
   /** Repeated CV with different fold salts (`multiple_cv_scikit.py:44-161`):
-    * mean and stddev of the CV AUC across repeats.
+    * mean and stddev of the CV AUC across repeats (repeats run concurrently).
     */
   def repeatedCv(df: DataFrame, featureCols: Seq[String], labelCol: String,
       repeats: Int = 5, folds: Int = 5, grid: Seq[Double] = Seq(1.0)): (Double, Double) = {
-    val scores = (0 until repeats).map(r =>
+    val scores = FitPool.map(df.sparkSession, "lr-rcv", 0 until repeats)(r =>
       score(df, featureCols, labelCol, folds, grid, saltSeed = 42 + r).auc)
     val mu = scores.sum / repeats
     val sd = math.sqrt(scores.map(s => (s - mu) * (s - mu)).sum / repeats)
@@ -98,6 +181,7 @@ object LrScorer {
     * (`ComplexityDrivenFeatureConstruction.py:754-802`):
     * AICc = 2k + n*ln(rss/n) + 2k(k+1)/(n-k-1), k = complexity.
     * Returns (champion, aicc) per complexity and the global argmin.
+    * Champions score concurrently (no dependency between them).
     */
   def selectByAicc(
       df: DataFrame,
@@ -108,9 +192,8 @@ object LrScorer {
     val champions = result.survivors.filter(_.passed)
       .groupBy(_.complexity).toSeq.sortBy(_._1)
       .map { case (_, ss) => ss.maxBy(_.score) }
-    val scored = champions.map { ch =>
-      ch -> aiccOf(df, ch, result.fit, labelCol, folds, grid)
-    }
+    val scored = FitPool.map(df.sparkSession, "lr-aicc", champions)(ch =>
+      ch -> aiccOf(df, ch, result.fit, labelCol, folds, grid))
     (scored.minBy(_._2)._1, scored)
   }
 
@@ -118,7 +201,7 @@ object LrScorer {
       folds: Int, grid: Seq[Double]): Double = {
     val name = Lower.alias(ch.expr)
     val mat = LayerBuilder.select(df, Seq(labelCol), Seq(name -> ch.expr), fit)
-    val s = score(mat, Seq(name), labelCol, folds, grid)
+    val s = score(mat, Seq(name), labelCol, folds, grid, complexity = ch.complexity)
     val k = ch.complexity.toDouble
     val n = s.n.toDouble
     2 * k + n * math.log(math.max(s.rss, 1e-12) / n) + (2 * k * (k + 1)) / math.max(n - k - 1, 1.0)

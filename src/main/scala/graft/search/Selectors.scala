@@ -56,8 +56,9 @@ object Selectors {
       rounds: Int = 5, maxDepth: Int = 5, seed: Long = 1L): Seq[String] = {
     val base = df.select((featureCols.map(c => col(c).cast("double").as(c)) :+
       col(labelCol).cast("double").as("__y")): _*).na.drop()
-    val hits = collection.mutable.Map(featureCols.map(_ -> 0): _*)
-    (0 until rounds).foreach { r =>
+    // rounds are independent (distinct shadow salts) -> concurrent fits;
+    // hit counts combine after, so results match the sequential loop exactly
+    val perRound = FitPool.map(df.sparkSession, "boruta", 0 until rounds) { r =>
       // Spark ML RandomForest bootstrap sampling is seeded PER PARTITION
       // INDEX and drawn in row order, so featureImportances depends on the
       // fit input's partition layout (shadowed() ends in a shuffle join
@@ -75,11 +76,10 @@ object Selectors {
         .setMaxDepth(maxDepth).setNumTrees(20).setSeed(seed)
         .fit(asm.transform(withShadow))
       val imp = rf.featureImportances.toArray
-      val real = featureCols.indices.map(i => featureCols(i) -> imp(i))
       val shadowMax = imp.drop(featureCols.size).max
-      real.foreach { case (c, w) => if (w > shadowMax) hits(c) += 1 }
+      featureCols.indices.map(i => featureCols(i) -> (imp(i) > shadowMax)).toMap
     }
-    featureCols.filter(c => hits(c) * 2 > rounds)
+    featureCols.filter(c => perRound.count(_(c)) * 2 > rounds)
   }
 
   /** Attach `__sh_<c>` columns: each feature's values under a deterministic

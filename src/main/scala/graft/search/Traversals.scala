@@ -76,9 +76,27 @@ object Traversals {
       named.map { case (n, e) => Canon.key(e) -> st(n).mi }.toMap
     }
 
+    // Like Cdfc.profileOf: derive profiles for composed nodes analytically
+    // from their children so unary guards are NOT vacuously true on derived
+    // expressions (Log over a negative-domain composition must be pruned,
+    // not scored into NaN).
+    def profileOf(e: FeatureExpr): Option[graft.profile.ColumnProfile] = {
+      val k = Canon.key(e)
+      profiles.get(k).orElse {
+        val derived = e match {
+          case Unary(op, ch) => profileOf(ch).map(Applicability.derive(op, _))
+          case BinaryE(op, l, r) =>
+            for (lp <- profileOf(l); rp <- profileOf(r)) yield Applicability.derive(op, lp, rp)
+          case _ => None
+        }
+        derived.foreach(p => profiles(k) = p)
+        derived
+      }
+    }
+
     def applicableUnary(op: UnaryOp, e: FeatureExpr): Boolean =
-      profiles.get(Canon.key(e))
-        .forall(p => graft.exprs.Applicability.isApplicable(op, p))
+      // default to applicable only when no profile is derivable at all
+      profileOf(e).forall(p => Applicability.isApplicable(op, p))
 
     val rootScores = score(raws)
     val frontier = collection.mutable.ArrayBuffer[Rep](

@@ -179,4 +179,49 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         valueCols.map(v => col("__filled").getField(v).as(v)): _*)
   }
+
+  /** Auto-planned as-of join: picks the physical shape from measured input
+    * statistics, applying the measured routing rule (see [[asOfSkew]]'s
+    * scaladoc and `graft.SkewBench`):
+    *
+    *   1. right side fits a broadcast (`<= broadcastRows`) -> [[asOfBroadcast]]
+    *      — the 100 TB left side never shuffles at all;
+    *   2. else, if the hottest entity's row count exceeds its fair share
+    *      (`total rows / parallelism`) -> [[asOfSkew]] — a single hot key
+    *      would otherwise serialize one window task;
+    *   3. else -> [[asOf]] — one hash exchange, no join node.
+    *
+    * The two probe jobs are aggregation-only (a count of the right side; a
+    * map-side-combined per-entity count of the left) — key+count bytes on
+    * the wire, negligible next to the join itself and exactly what a real
+    * cost-based planner would sample. Both numbers are also available from
+    * table statistics when the caller has them; pass `rightRowsHint` /
+    * `maxEntityRowsHint` to skip the probes.
+    */
+  def auto(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      valueCols: Seq[String],
+      rightSeq: Column,
+      broadcastRows: Long = 4000000L,
+      numBuckets: Int = 32,
+      rightRowsHint: Option[Long] = None,
+      maxEntityRowsHint: Option[(Long, Long)] = None): DataFrame = {
+    val rightRows = rightRowsHint.getOrElse(right.count())
+    if (rightRows <= broadcastRows)
+      asOfBroadcast(left, right, entity, valueCols, rightSeq)
+    else {
+      val (total, maxKey) = maxEntityRowsHint.getOrElse {
+        val r = left.groupBy(col(entity)).agg(count(lit(1)).as("__n"))
+          .agg(sum(col("__n")), max(col("__n"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val par = math.max(left.sparkSession.sparkContext.defaultParallelism, 1).toLong
+      if (maxKey > total / par)
+        asOfSkew(left, right, entity, valueCols, rightSeq, numBuckets)
+      else
+        asOf(left, right, entity, valueCols, rightSeq)
+    }
+  }
 }

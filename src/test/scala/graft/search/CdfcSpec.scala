@@ -91,6 +91,31 @@ class CdfcSpec extends SparkSpec {
     assert(res.survivors.count(_.passed) <= 2, res.survivors.mkString("\n"))
   }
 
+  test("maxLayerWidth cap: overflow is score-ordered, counted, and never silent") {
+    // 6 raw features x 4 unary ops = 24 layer-2 candidates; cap at 5
+    val raw = (1 to 6).map(i => s"x$i")
+    val df = spark.range(800).select(
+      (col("id") % 2).cast("int").as("y") +:
+        raw.zipWithIndex.map { case (n, i) =>
+          (pmod(xxhash64(col("id") + i), lit(100)).cast("double") / 100 + 0.5 + i).as(n)
+        }: _*)
+    val res = new Cdfc(df, raw, Nil, Nil, col("y"),
+      CdfcConfig(cMax = 2, maxLayerWidth = 5,
+        unaryOps = Seq(UnaryOp.Log, UnaryOp.Sqrt, UnaryOp.Square, UnaryOp.MinMax),
+        binaryOps = Seq.empty, groupByAggs = Seq.empty)).run()
+    val l2 = res.layers.find(_.complexity == 2).get
+    assert(l2.dropped > 0, s"expected a recorded drop, got $l2")
+    assert(l2.enumerated == 24)
+    // evaluated exactly maxLayerWidth: survivors+non-survivors of layer 2 <= 5
+    assert(res.survivors.count(_.complexity == 2) <= 5)
+    // deterministic: a second run records the identical layer log + champion
+    val res2 = new Cdfc(df, raw, Nil, Nil, col("y"),
+      CdfcConfig(cMax = 2, maxLayerWidth = 5,
+        unaryOps = Seq(UnaryOp.Log, UnaryOp.Sqrt, UnaryOp.Square, UnaryOp.MinMax),
+        binaryOps = Seq.empty, groupByAggs = Seq.empty)).run()
+    assert(res2.layers == res.layers && res2.best.key == res.best.key)
+  }
+
   test("harmonic-mean auto-stop halts an unbounded search before cMax") {
     val df = spark.range(2000).select(
       (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
@@ -100,7 +125,7 @@ class CdfcSpec extends SparkSpec {
       CdfcConfig(cMax = 8, harmonicStop = true, stopAfterNonImproving = 99,
         binaryOps = Seq(BinOp.Mul), unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax),
         groupByAggs = Seq.empty)).run()
-    val deepest = res.layers.map(_._1).maxOption.getOrElse(1)
+    val deepest = res.layers.map(_.complexity).maxOption.getOrElse(1)
     assert(deepest < 8, s"expected auto-stop before cMax, layers=${res.layers}")
     assert(res.best.score > 0.3) // still found the planted interaction
   }

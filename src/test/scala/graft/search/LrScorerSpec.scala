@@ -44,4 +44,48 @@ class LrScorerSpec extends SparkSpec {
     val (mu, sd) = LrScorer.repeatedCv(df, Seq("prod"), "y", repeats = 3, folds = 3)
     assert(mu > 0.95 && sd < 0.05, s"mu=$mu sd=$sd")
   }
+
+  test("per-fold metric suite (run_evaluation.py:83-138) is populated and coherent") {
+    val df = planted.withColumn("prod", col("x1") * col("x2"))
+    // weak regularization: regParam=1.0 shrinks p toward the base rate and
+    // the 0.5 hard threshold under-calls the positive class (AUC is immune,
+    // accuracy/f1 are not — same in sklearn with C=1e-3)
+    val s = LrScorer.score(df, Seq("prod"), "y", folds = 3, grid = Seq(0.01), complexity = 3)
+    // near-separable planted signal: hard-prediction metrics track the AUC
+    assert(s.accuracy > 0.9, s"acc=${s.accuracy}")
+    assert(s.f1 > 0.9, s"f1=${s.f1}")
+    // continuous feature tuples are unique -> perfectly consistent
+    assert(s.consistency == 1.0, s"cons=${s.consistency}")
+    // AICc >= AIC always; BIC > AIC once ln(n) > 2; complexity-k > feature-k
+    assert(s.aiccFeat >= s.aicFeat && s.aiccComp >= s.aicComp)
+    assert(s.bicFeat > s.aicFeat)
+    assert(s.aicComp > s.aicFeat) // k_comp = complexity + #features + 1 > k_feat
+    assert(!s.aicFeat.isNaN && !s.bicComp.isNaN)
+  }
+
+  test("concurrent fits: folds-x-grid jobs overlap in distinct FAIR pools") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pools = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val c = inFlight.incrementAndGet()
+        maxInFlight.updateAndGet(m => math.max(m, c))
+        Option(j.properties).flatMap(p => Option(p.getProperty("spark.scheduler.pool")))
+          .foreach(pools.add)
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = { inFlight.decrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = planted.withColumn("prod", col("x1") * col("x2"))
+      LrScorer.score(df, Seq("prod"), "y", folds = 3, grid = Seq(1.0, 100.0))
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val fitPools = pools.toArray.map(_.toString).filter(_.startsWith("lr-cv-"))
+    assert(fitPools.length >= 2, s"expected distinct per-fit pools, saw ${pools}")
+    assert(maxInFlight.get >= 2,
+      s"expected overlapping fit jobs, max in flight = ${maxInFlight.get}")
+  }
 }
