@@ -270,6 +270,45 @@ object SearchQueries {
         .toDF("aicc_winner_ok", "aicc_table_ok", "aicc_argmin_ok", "metrics_ok", "ic_ok")
     }),
 
+    // LR-in-the-search-loop gate (reference: every candidate is scored by CV
+    // grid-search LR, run_evaluation.py:142-243; here the two-stage oracle's
+    // exact stage): a planted fixture where binned MI and LR-AUC RANK
+    // CHAMPIONS DIFFERENTLY — 60% of labels follow the parity of x1's
+    // 0.1-wide band (high binned MI, AUC ~0.5), 40% follow the monotone
+    // threshold x2*x3 > 1 — so the MI-only search crowns the x1 decoy and
+    // the LR-driven search must crown mul(x2, x3). Output: the LR champion's
+    // transform per row (SqlGen-generated DuckDB oracle recomputes every
+    // value from the events parquet) + the two divergence literals.
+    "q_cdfc_lr" -> ((s, dir) => {
+      import graft.exprs._
+      val ev = Tables.events(s, dir).filter(col("event_id") < 2500).select(
+          col("event_id").cast("long").as("event_id"),
+          (pmod(col("event_id") * 2654435761L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x1"),
+          (pmod(col("event_id") * 2246822519L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x2"),
+          (pmod(col("event_id") * 3266489917L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x3"),
+          pmod(col("event_id") * 668265263L, lit(10L)).as("g"))
+        .withColumn("y", when(col("g") < 4, (col("x2") * col("x3") > 1.0).cast("int"))
+          .otherwise(pmod(floor((col("x1") - 0.5) * 10).cast("long"), lit(2L)).cast("int")))
+        .drop("g")
+        // pin partition layout: LR treeAggregate float sums are partition-
+        // order-sensitive; the champion pick must not depend on cpus
+        .repartition(4, col("event_id")).sortWithinPartitions("event_id")
+      val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(graft.exprs.BinOp.Mul),
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)
+      val mi = new Cdfc(ev, Seq("x1", "x2", "x3"), Nil, Nil, col("y"), cfg).run()
+      val lr = new Cdfc(ev, Seq("x1", "x2", "x3"), Nil, Nil, col("y"),
+        cfg.copy(lrTopK = 4)).run()
+      val lrOk = lr.best.key == "mul(x2,x3)"
+      val divergedOk = mi.best.key.contains("x1") && !mi.best.key.contains("mul")
+      cdfcLrOracle = Some(
+        "SELECT r.*, CAST(1 AS BIGINT) AS lr_picks_planted, CAST(1 AS BIGINT) AS mi_diverges FROM (\n" +
+          new SqlGen().render(cdfcLrCte, "fx",
+            Seq("event_id"), Seq("feat_best" -> lr.best.expr), lr.fit) + "\n) r")
+      LayerBuilder.select(ev, Seq("event_id"), Seq("feat_best" -> lr.best.expr), lr.fit)
+        .select(col("event_id"), col6(col("feat_best")).as("feat_best"),
+          lit(b2l(lrOk)).as("lr_picks_planted"), lit(b2l(divergedOk)).as("mi_diverges"))
+    }),
+
     // Checkpoint resumability under the driver gate (north rule: resumable
     // from snapshot checkpoints): a search stopped after layer 2 and resumed
     // from its manifest must land on the BIT-IDENTICAL survivor set, scores,
@@ -338,6 +377,20 @@ object SearchQueries {
     */
   @volatile private var cdfcOracle: Option[String] = None
   @volatile private var ekOracle: Option[String] = None
+  @volatile private var cdfcLrOracle: Option[String] = None
+
+  /** DuckDB CTE for the q_cdfc_lr planted fixture — the same portable
+    * multiplicative-hash arithmetic as the Spark side (xxhash prime
+    * constants; label columns are search-side only and not needed to
+    * recompute the champion transform).
+    */
+  private val cdfcLrCte: String =
+    """fx AS (
+      |  SELECT CAST(event_id AS BIGINT) AS event_id,
+      |         ((event_id * 2654435761) % 1009) / 1009.0 + 0.5 AS x1,
+      |         ((event_id * 2246822519) % 1009) / 1009.0 + 0.5 AS x2,
+      |         ((event_id * 3266489917) % 1009) / 1009.0 + 0.5 AS x3
+      |  FROM events WHERE event_id < 2500)""".stripMargin
 
   private def miSql(feat: String): String =
     s"""${feat}_s AS (SELECT MIN($feat) AS lo, MAX($feat) AS hi FROM b),
@@ -355,7 +408,8 @@ object SearchQueries {
 
   def oracles: Map[String, String] =
     cdfcOracle.map("q_cdfc" -> _).toMap ++
-      ekOracle.map("q_explorekit" -> _).toMap ++ staticOracles
+      ekOracle.map("q_explorekit" -> _).toMap ++
+      cdfcLrOracle.map("q_cdfc_lr" -> _).toMap ++ staticOracles
 
   private val staticOracles: Map[String, String] = Map(
     "q_selectors" ->

@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   * candidate iff it is raw/one-hot or its gain per added complexity exceeds
   * epsilon (`run_evaluation.py:370-371`).
   *
-  * Deviation from the reference, by design: the gain oracle is normalized
-  * binned MI (the reference's own prefilter statistic) rather than
-  * cross-validated LR AUC — exact LR scoring of the few survivors can be
-  * layered on top without touching the search.
+  * Two-stage gain oracle: normalized binned MI (the reference's own
+  * prefilter statistic) gates the full lattice; with `lrTopK > 0` the
+  * layer's top survivors are re-scored by the reference's exact CV
+  * grid-search LR oracle (`run_evaluation.py:142-243`) and AUC replaces MI
+  * for their gate and for champion selection — so on fixtures where binned
+  * MI and LR-AUC disagree (non-monotone dependence MI over-rates), the
+  * champion is the LR champion, as in the reference. The MI prefilter is
+  * the Spark-shaped concession: the reference fits LR for every candidate,
+  * which at lattice width is strictly dominated by prefilter + top-K exact.
   *
   * Scale shape: per layer, TWO aggregation-only jobs (profile + score) over
   * one wide select of all candidates; no data is ever collected; the only
@@ -42,6 +47,16 @@ final case class CdfcConfig(
     binaryOps: Seq[BinOp] = Seq(BinOp.Add, BinOp.Mul),
     groupByAggs: Seq[AggKind] = Seq(AggKind.Mean, AggKind.Max, AggKind.Min, AggKind.Std),
     stopAfterNonImproving: Int = 2,
+    /** When > 0, each layer's top-`lrTopK` MI survivors are re-scored with
+      * the exact CV grid-search LR oracle (`run_evaluation.py:142-243`) and
+      * LR AUC replaces binned MI for their score, epsilon gate, and champion
+      * selection — completing the two-stage oracle of SURVEY §2.4 (cheap MI
+      * prefilter for the lattice, exact LR for the survivors). Direct
+      * parents of a re-scored candidate are LR-scored too (memoized), so
+      * the gain is AUC-vs-AUC, never mixed-scale. 0 = MI-only. */
+    lrTopK: Int = 0,
+    lrFolds: Int = 3,
+    lrGrid: Seq[Double] = Seq(1.0),
     /** Reference auto-stop for unbounded searches (`ComplexityDrivenFeature
       * Construction.py:660-676`): after layer c > 2, stop when the harmonic
       * mean of cumulative SimplicityScore and AccuracyScore of the champion
@@ -144,19 +159,54 @@ final class Cdfc(
       }
     }
 
+    def parentsOf(e: FeatureExpr): Seq[FeatureExpr] = e match {
+      case Unary(_, ch)          => Seq(ch)
+      case BinaryE(_, l, r)      => Seq(l, r)
+      case GroupByThenE(_, v, k) => Seq(v, k)
+      case _                     => Seq.empty
+    }
+
     def maxParentScore(e: FeatureExpr): Double = {
-      val parents = e match {
-        case Unary(_, ch)          => Seq(ch)
-        case BinaryE(_, l, r)      => Seq(l, r)
-        case GroupByThenE(_, v, k) => Seq(v, k)
-        case _                     => Seq.empty
-      }
-      val ss = parents.flatMap(p => scores.get(Canon.key(p)))
+      val ss = parentsOf(e).flatMap(p => scores.get(Canon.key(p)))
       if (ss.isEmpty) 0.0 else ss.max
+    }
+
+    // ---- exact LR oracle for the layer's top survivors ----------------
+    // (two-stage: MI gates the lattice, CV-LR AUC re-scores and re-gates
+    // the top-K survivors per layer; lrScores memoizes candidate AND
+    // parent AUCs so gains compare like with like)
+    val lrScores = collection.mutable.HashMap[String, Double]()
+    lazy val dfLr = df.withColumn("__cdfc_label", label)
+    def lrAucOf(e: FeatureExpr): Double = {
+      val n = Lower.alias(e)
+      val mat = LayerBuilder.select(dfLr, Seq("__cdfc_label"), Seq(n -> e), fit)
+      LrScorer.score(mat, Seq(n), "__cdfc_label", cfg.lrFolds, cfg.lrGrid).auc
+    }
+    def lrRescore(startIdx: Int, cost: Int): Unit = {
+      val layerNew = (startIdx until survivors.size)
+        .map(i => i -> survivors(i)).filter { case (_, s) => s.passed && !s.inherited }
+      if (layerNew.isEmpty) return
+      val top = layerNew.sortBy { case (_, s) => (-s.score, s.key) }.take(cfg.lrTopK)
+      val need = (top.map(_._2.expr) ++ top.flatMap(t => parentsOf(t._2.expr)))
+        .distinctBy(Canon.key).filterNot(e => lrScores.contains(Canon.key(e)))
+      // concurrent fits (FitPool); insert in task order -> deterministic
+      lrScores ++= FitPool.map(df.sparkSession, "cdfc-lr", need)(e => Canon.key(e) -> lrAucOf(e))
+      top.foreach { case (i, s) =>
+        val auc = lrScores(s.key)
+        val isRawOrOneHot = s.expr.isInstanceOf[RawCol] ||
+          (s.expr match { case Unary(UnaryOp.EqualsStr(_), _) => true; case _ => false })
+        val parentAuc = parentsOf(s.expr).flatMap(p => lrScores.get(Canon.key(p)))
+          .maxOption.getOrElse(0.5)
+        val pass = isRawOrOneHot || auc - parentAuc > cfg.epsilon
+        survivors(i) = s.copy(score = auc, passed = pass)
+        if (!pass)
+          byComplexity(cost) = byComplexity(cost).filterNot(ee => Canon.key(ee) == s.key)
+      }
     }
 
     def evaluate(candidates: Seq[FeatureExpr], cost: Int): Unit = {
       if (candidates.isEmpty) return
+      val startIdx = survivors.size
       // affine-invariance skip rule (`run_evaluation.py:313-330`): -x, a+b,
       // a-b inherit the best parent score without evaluation
       val (inherit, toEval) = candidates.partition {
@@ -209,6 +259,8 @@ final class Cdfc(
         byComplexity(cost) = byComplexity(cost) :+ e
         survivors += Scored(e, k, cost, s, passed = false, inherited = true)
       }
+
+      if (cfg.lrTopK > 0) lrRescore(startIdx, cost)
     }
 
     // ---- checkpoint hooks --------------------------------------------

@@ -116,6 +116,37 @@ class CdfcSpec extends SparkSpec {
     assert(res2.layers == res.layers && res2.best.key == res.best.key)
   }
 
+  test("LR re-scoring (lrTopK) overrides a non-monotone high-MI decoy champion") {
+    // Planted divergence between the two oracles: 60% of rows take their
+    // label from the PARITY of x1's 0.1-wide band (high binned MI -- each
+    // equal-width bin is ~pure parity -- but AUC ~0.5, no monotone
+    // ranking); 40% take it from the threshold x2*x3 > 1 (monotone in the
+    // product -> the LR champion). MI-only search crowns the decoy x1;
+    // LR-in-the-loop must crown mul(x2, x3).
+    // All arithmetic is portable multiplicative hashing (public xxhash
+    // prime constants), reproducible in any SQL engine.
+    val base = spark.range(2500).select(
+      (pmod(col("id") * 2654435761L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x1"),
+      (pmod(col("id") * 2246822519L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x2"),
+      (pmod(col("id") * 3266489917L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x3"),
+      pmod(col("id") * 668265263L, lit(10L)).as("g"))
+      .withColumn("y", when(col("g") < 4, (col("x2") * col("x3") > 1.0).cast("int"))
+        .otherwise(pmod(floor((col("x1") - 0.5) * 10).cast("long"), lit(2L)).cast("int")))
+      .drop("g")
+    val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
+      unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)
+    val mi = new Cdfc(base, Seq("x1", "x2", "x3"), Nil, Nil, col("y"), cfg).run()
+    val lr = new Cdfc(base, Seq("x1", "x2", "x3"), Nil, Nil, col("y"),
+      cfg.copy(lrTopK = 4)).run()
+    // MI crowns the decoy or an affine image of it (binning noise can favor
+    // e.g. scale(minus(x1)) over raw x1 by a hair) — never the product
+    assert(mi.best.key.contains("x1") && !mi.best.key.contains("mul"),
+      s"MI champion should be the x1 decoy, got ${mi.best.key}")
+    assert(lr.best.key == "mul(x2,x3)",
+      s"LR champion should be the planted product, got ${lr.best.key} (score ${lr.best.score})")
+    assert(lr.best.score > 0.6 && lr.best.score < 1.0) // an AUC, not an MI
+  }
+
   test("harmonic-mean auto-stop halts an unbounded search before cMax") {
     val df = spark.range(2000).select(
       (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
