@@ -52,6 +52,39 @@ object SkewBench {
         .write.mode("overwrite").parquet(p)
   }
 
+  /** GroupByThen under the same hot key: window-partition-by-key (baseline,
+    * one task per key) vs the two-phase salted aggregate + broadcast
+    * join-back ([[graft.windows.WindowFeatures.groupByThenSalted]], fact
+    * rows never shuffle). The aggregated value is integer-valued and both
+    * variants round with the portable 6-dp formula, so the checksums are
+    * comparable bit-for-bit.
+    */
+  def groupbyJob(spark: SparkSession, nTurns: Long, hotPct: Int,
+      saltedPath: Boolean): DataFrame = {
+    import graft.exprs.PortableRound.col6
+    import graft.windows.{WindowFeatures => WF}
+    val t = spark.read.parquet(inputPath(nTurns, hotPct))
+      .withColumn("v", pmod(xxhash64(col("turn_idx") + 5), lit(1000L)).cast("double"))
+    val out =
+      if (saltedPath) WF.groupByThenSalted(t, "conv_id", col("v"), "g", salts = 64)
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+        val n = count(col("v")).over(w).cast("double")
+        val s1 = sum(col("v")).over(w)
+        val s2 = sum(col("v") * col("v")).over(w)
+        t.withColumn("g_mean", s1 / n)
+          .withColumn("g_std", when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - 1))))
+          .withColumn("g_min", min(col("v")).over(w))
+          .withColumn("g_max", max(col("v")).over(w))
+          .withColumn("g_cnt", count(col("v")).over(w))
+          .withColumn("g_sum", s1)
+      }
+    out.select(col("conv_id"), col("turn_idx"),
+      col6(col("g_mean")).as("g_mean"), col6(col("g_std")).as("g_std"),
+      col("g_min").cast("long").as("g_min"), col("g_max").cast("long").as("g_max"),
+      col("g_cnt").cast("long").as("g_cnt"), col6(col("g_sum")).as("g_sum"))
+  }
+
   def asofJob(spark: SparkSession, nTurns: Long, hotPct: Int,
       skewPath: Boolean): DataFrame = {
     val t = spark.read.parquet(inputPath(nTurns, hotPct))
@@ -69,28 +102,35 @@ object SkewBench {
     val nTurns = args.headOption.map(_.toLong).getOrElse(8000000L)
     val hotPct = args.lift(1).map(_.toInt).getOrElse(20)
     val outJson = args.lift(2).getOrElse("/root/repo/BENCH_SKEW.json")
+    val mode = args.lift(3).getOrElse("asof") // "asof" | "groupby"
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
 
     val spark = ScalingBench.session(cores)
     try {
       materialize(spark, nTurns, hotPct)
-      def measure(skewPath: Boolean): (Long, Double) = {
-        Bench.force(asofJob(spark, nTurns, hotPct, skewPath)) // warmup
+      def job(safePath: Boolean): DataFrame =
+        if (mode == "groupby") groupbyJob(spark, nTurns, hotPct, safePath)
+        else asofJob(spark, nTurns, hotPct, safePath)
+      def measure(safePath: Boolean): (Long, Double) = {
+        Bench.force(job(safePath)) // warmup
         var chk = 0L
         var best = Double.MaxValue
         (1 to reps).foreach { _ =>
           val t0 = System.nanoTime()
-          chk = Bench.force(asofJob(spark, nTurns, hotPct, skewPath))
+          chk = Bench.force(job(safePath))
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
         (chk, best)
       }
-      val (chkPlain, secPlain) = measure(skewPath = false)
-      val (chkSkew, secSkew) = measure(skewPath = true)
+      val (chkPlain, secPlain) = measure(safePath = false)
+      val (chkSkew, secSkew) = measure(safePath = true)
+      val (baseKey, safeKey) =
+        if (mode == "groupby") ("sec_window", "sec_salted")
+        else ("sec_union_window", "sec_skew_bucketed")
       val json =
-        s"""{"n_turns":$nTurns,"hot_pct":$hotPct,"cores":$cores,
-           |"sec_union_window":$secPlain,"sec_skew_bucketed":$secSkew,
+        s"""{"mode":"$mode","n_turns":$nTurns,"hot_pct":$hotPct,"cores":$cores,
+           |"$baseKey":$secPlain,"$safeKey":$secSkew,
            |"speedup":${math.rint(secPlain / secSkew * 100) / 100.0},
            |"checksum_match":${chkPlain == chkSkew},"reps":$reps}"""
           .stripMargin.replace("\n", "")

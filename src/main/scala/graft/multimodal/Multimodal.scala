@@ -8,12 +8,12 @@ import java.nio.{ByteBuffer, ByteOrder}
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, flowing through typed Dataset partitions.
   *
-  * The decode step is REAL for the two media classes whose formats are pure
-  * byte layouts — BMP images and PCM WAV audio ([[MediaDecoder]] parses the
-  * actual headers and pixel/sample payloads, no codec library involved).
-  * Compressed/video codecs are not in this container, so `video` stays on
-  * the clearly-marked [[StubDecoder]] (a deterministic pure function of the
-  * bytes); swapping in a real codec changes one match arm.
+  * The decode step is REAL for all three media classes — each is a pure
+  * byte layout needing no codec library: BMP images, PCM WAV audio, and
+  * uncompressed ('DIB ') AVI video. [[MediaDecoder]] parses the actual
+  * headers and pixel/sample payloads; [[MediaSynth]] writes files with the
+  * standard headers a third-party tool would accept. Swapping in a
+  * compressed codec changes one match arm.
   *
   * Scale notes: decode runs per-partition (one decoder instance per task,
   * amortized over the batch), never per-row-lambda-per-field; binary columns
@@ -83,6 +83,61 @@ object Multimodal {
       seed.foreach(b => buf.putShort((((b & 0xff) - 128) << 8).toShort))
       buf.array()
     }
+
+    /** Uncompressed ('DIB ') RGB24 AVI — video as a pure byte layout, no
+      * codec: RIFF('AVI ') > LIST(hdrl){avih + LIST(strl){strh,strf}} +
+      * LIST(movi){'00db' frames}. One video stream, width = |seed|,
+      * height 1, frames = |seed| % 4 + 2, every frame the same BGR row
+      * (pixel c = (s_c, s_c, s_c), rows padded to 4 bytes) — so the decoded
+      * pixel mean equals the seed-byte mean, like the BMP arm.
+      */
+    def avi(seed: Array[Byte]): Array[Byte] = {
+      val w = seed.length
+      val h = 1
+      val frames = seed.length % 4 + 2
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      val moviSize = 4 + frames * (8 + frameBytes)     // 'movi' + chunks
+      val hdrlSize = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40)) // 'hdrl' avih strl
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("AVI ".getBytes("US-ASCII"))
+      // LIST hdrl
+      buf.put("LIST".getBytes("US-ASCII")).putInt(hdrlSize).put("hdrl".getBytes("US-ASCII"))
+      buf.put("avih".getBytes("US-ASCII")).putInt(56)
+        .putInt(40000)                        // dwMicroSecPerFrame (25 fps)
+        .putInt(frameBytes * 25).putInt(0).putInt(0)
+        .putInt(frames).putInt(0).putInt(1)   // dwTotalFrames, dwInitialFrames, dwStreams
+        .putInt(frameBytes).putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      //   LIST strl
+      buf.put("LIST".getBytes("US-ASCII")).putInt(4 + 64 + 48).put("strl".getBytes("US-ASCII"))
+      buf.put("strh".getBytes("US-ASCII")).putInt(56)
+        .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(25).putInt(0).putInt(frames) // dwScale/dwRate/dwStart/dwLength
+        .putInt(frameBytes).putInt(-1).putInt(0)       // buffer, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      buf.put("strf".getBytes("US-ASCII")).putInt(40)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      // LIST movi
+      buf.put("LIST".getBytes("US-ASCII")).putInt(moviSize).put("movi".getBytes("US-ASCII"))
+      var f = 0
+      while (f < frames) {
+        buf.put("00db".getBytes("US-ASCII")).putInt(frameBytes)
+        var r = 0
+        while (r < h) {
+          var c = 0
+          while (c < w) { val b = seed(c); buf.put(b).put(b).put(b); c += 1 }
+          var p = w * 3
+          while (p < stride) { buf.put(0.toByte); p += 1 }
+          r += 1
+        }
+        f += 1
+      }
+      buf.array()
+    }
   }
 
   /** REAL header+payload parsers for the byte-layout formats.
@@ -93,7 +148,10 @@ object Multimodal {
     *  - audio (WAV): RIFF/WAVE chunk walk; fmt -> channels/rate/bits,
     *    data -> frame count; mean of per-sample (s >> 8) + 128 (the unsigned
     *    high byte). (channels, bitsPerSample, frames, sample-byte mean)
-    *  - video: no pure-byte video format exists without codecs -> StubDecoder.
+    *  - video (uncompressed AVI): RIFF/'AVI ' chunk walk; avih ->
+    *    width/height/frame count (cross-checked against the counted movi
+    *    chunks), '00db'/'00dc' frames -> pixel mean, stride padding
+    *    excluded. (width, height, frames, pixel mean)
     *
     * Malformed input fails loudly (require), never silently misparses.
     */
@@ -102,7 +160,8 @@ object Multimodal {
       mediaType match {
         case "image" => decodeBmp(bytes)
         case "audio" => decodeWav(bytes)
-        case _       => StubDecoder.decode(mediaType, bytes)
+        case "video" => decodeAvi(bytes)
+        case other   => throw new IllegalArgumentException(s"unknown media type $other")
       }
 
     private def decodeBmp(bytes: Array[Byte]): (Int, Int, Int, Double) = {
@@ -163,28 +222,61 @@ object Multimodal {
       (channels, bits, frames,
         if (frames == 0) 0.0 else sum.toDouble / (frames.toLong * channels))
     }
-  }
 
-  /** STUB: deterministic fake decoder — a pure function of the byte
-    * content standing in for absent codecs (only `video` uses it now).
-    * width/height/frames derive from the length; decoded_mean is the mean
-    * of the first 16 bytes, so plumbing correctness stays checkable
-    * end-to-end against an independent engine.
-    */
-  object StubDecoder extends Decoder {
-    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int, Double) = {
-      val n = bytes.length
-      val head = bytes.take(16)
-      val mean = if (head.isEmpty) 0.0
-        else head.map(b => (b & 0xff).toDouble).sum / head.length
-      ((n % 640) + 1, (n * 7 % 480) + 1, (n % 30) + 1, mean)
+    private def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI")
+      var w = -1; var h = -1; var totalFrames = -1
+      var counted = 0; var pixSum = 0L; var pixN = 0L
+
+      def fourcc(at: Int) = new String(bytes, at, 4, "US-ASCII")
+
+      // walk the chunks of [from, to); LISTs recurse one level into their body
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = fourcc(pos)
+          val size = buf.getInt(pos + 4)
+          require(size >= 0 && pos + 8 + size <= bytes.length, s"bad chunk size $size at $pos")
+          if (id == "LIST") {
+            require(size >= 4, "LIST without a type")
+            walk(pos + 12, pos + 8 + size) // skip the 4-byte list type
+          } else if (id == "avih") {
+            require(size >= 56, "short avih")
+            totalFrames = buf.getInt(pos + 8 + 16)
+            w = buf.getInt(pos + 8 + 32)
+            h = buf.getInt(pos + 8 + 36)
+          } else if (id == "00db" || id == "00dc") {
+            require(w > 0 && h != 0, "frame chunk before avih")
+            val rows = math.abs(h)
+            val stride = (w * 3 + 3) / 4 * 4
+            require(size >= stride * rows, "truncated frame")
+            var r = 0
+            while (r < rows) {
+              val base = pos + 8 + r * stride
+              var c = 0
+              while (c < w * 3) { pixSum += bytes(base + c) & 0xff; c += 1 }
+              r += 1
+            }
+            pixN += w.toLong * rows * 3
+            counted += 1
+          }
+          pos += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, bytes.length)
+      require(w > 0 && h != 0 && totalFrames >= 0, "missing avih header")
+      require(counted == totalFrames,
+        s"avih says $totalFrames frames, movi has $counted")
+      (w, math.abs(h), counted, if (pixN == 0) 0.0 else pixSum.toDouble / pixN)
     }
   }
 
-  /** Attach a binary media column: REAL BMP / WAV bytes synthesized
-    * deterministically from the document text (`video` keeps the raw seed
-    * bytes for the stub), media_type from the id. Generation is partition-
-    * wise and distributed — no driver-side data.
+  /** Attach a binary media column: REAL BMP / WAV / AVI bytes synthesized
+    * deterministically from the document text, media_type from the id.
+    * Generation is partition-wise and distributed — no driver-side data.
     */
   def attachBinary(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -201,7 +293,7 @@ object Multimodal {
           val content = mt match {
             case "image" => MediaSynth.bmp(seed)
             case "audio" => MediaSynth.wav(seed)
-            case _       => seed
+            case _       => MediaSynth.avi(seed)
           }
           MediaRow(docId, t, mt, content)
         }

@@ -194,13 +194,15 @@ object TextQueries {
          |            JOIN sizes sb ON inter.b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.2""".stripMargin,
 
-    // The oracle PREDICTS what the REAL BMP/WAV parsers must recover from
-    // the synthesized media, straight from the document text (all-ASCII, so
-    // chars == UTF-8 bytes): a header/stride/payload bug on either the
-    // writer or the parser side breaks the match. `video` stays on the
-    // documented stub arithmetic.
+    // The oracle PREDICTS what the REAL BMP/WAV/AVI parsers must recover
+    // from the synthesized media, straight from the document text
+    // (all-ASCII, so chars == UTF-8 bytes): a header/stride/payload bug on
+    // either the writer or the parser side breaks the match. AVI byte_len =
+    // 224 fixed header bytes (RIFF + hdrl LIST + movi LIST preamble) +
+    // frames * (8 + stride); every arm's pixel/sample mean reduces to the
+    // ascii mean of the text (replicated rows/frames and equal channels
+    // cancel; integer sums keep the division bit-exact across engines).
     "q_multimodal" -> {
-      val mean16 = (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ")
       val meanAll =
         """list_aggregate(list_transform(string_split(text, ''),
           |     c -> CAST(ascii(c) AS BIGINT)), 'sum') / CAST(LENGTH(text) AS DOUBLE)""".stripMargin
@@ -208,24 +210,24 @@ object TextQueries {
          |  SELECT doc_id, text, LENGTH(text) AS n,
          |         CAST(doc_id % 3 AS INT) AS mt,
          |         ((3 * LENGTH(text) + 3) // 4) * 4 AS stride,
-         |         (LENGTH(text) % 8) + 1 AS hgt
+         |         (LENGTH(text) % 8) + 1 AS hgt,
+         |         (LENGTH(text) % 4) + 2 AS vframes
          |  FROM documents)
          |SELECT doc_id,
          |  CASE mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
          |  CAST(CASE mt WHEN 0 THEN 54 + stride * hgt
          |               WHEN 1 THEN 44 + 2 * n
-         |               ELSE n END AS BIGINT) AS byte_len,
+         |               ELSE 224 + vframes * (8 + stride) END AS BIGINT) AS byte_len,
          |  CAST(CASE mt WHEN 0 THEN n
          |               WHEN 1 THEN 1
-         |               ELSE n % 640 + 1 END AS BIGINT) AS width,
+         |               ELSE n END AS BIGINT) AS width,
          |  CAST(CASE mt WHEN 0 THEN hgt
          |               WHEN 1 THEN 16
-         |               ELSE (n * 7) % 480 + 1 END AS BIGINT) AS height,
+         |               ELSE 1 END AS BIGINT) AS height,
          |  CAST(CASE mt WHEN 0 THEN 1
          |               WHEN 1 THEN n
-         |               ELSE n % 30 + 1 END AS BIGINT) AS frames,
-         |  FLOOR(CAST((CASE WHEN mt = 2 THEN ($mean16) / 16.0
-         |                   ELSE $meanAll END) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS decoded_mean
+         |               ELSE vframes END AS BIGINT) AS frames,
+         |  FLOOR(CAST(($meanAll) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS decoded_mean
          |FROM m""".stripMargin
     }
   )

@@ -81,6 +81,52 @@ object WindowQueries {
         col6(WF.groupByThenAtOrBefore(avg, len)).as("run_mean_len"))
     }),
 
+    // Skew-safe GroupByThen (SURVEY §7.4(1)): same per-row semantics as the
+    // q_groupby_then window columns, but via the two-phase salted aggregate
+    // + broadcast join-back — the fact rows never shuffle; the oracle
+    // recomputes every aggregate from raw text with the same portable
+    // formulas (integer-valued inputs -> exact sums -> bit parity)
+    "q_groupby_salted" -> ((s, dir) => {
+      WF.groupByThenSalted(T(s, dir), "conv_id",
+          length(col("text")).cast("double"), "conv", salts = 8)
+        .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+          col6(col("conv_mean")).as("conv_mean_len"),
+          col6(col("conv_std")).as("conv_std_len"),
+          col("conv_min").cast("long").as("conv_min_len"),
+          col("conv_max").cast("long").as("conv_max_len"),
+          col("conv_cnt").as("conv_cnt"),
+          col6(col("conv_sum")).as("conv_sum_len"))
+    }),
+
+    // Bucketed-table layout under the driver gate: both sides of a
+    // conv_id equi-join are written bucketBy(8, conv_id).sortBy(conv_id)
+    // and joined with a sort-merge hint — the zero-exchange plan
+    // (BucketingSpec asserts no Exchange appears; this row proves the
+    // bucketed write+read+join produces values identical to DuckDB
+    // computing the same join from the raw parquet). Aggregates are
+    // max/count (order-insensitive AND FP-exact), never a float sum.
+    "q_bucketed" -> ((s, dir) => {
+      import graft.sources.Bucketing
+      val turnsT = "graft_bt_turns"
+      val purchT = "graft_bt_purch"
+      Bucketing.replaceBucketed(
+        T(s, dir).select(col("conv_id"), col("turn_idx"), col("text")),
+        turnsT, "conv_id", 8)
+      Bucketing.replaceBucketed(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+            col("value"))
+          .groupBy(col("conv_id"))
+          .agg(max(col("value")).as("purch_max"), count(lit(1)).as("purch_cnt")),
+        purchT, "conv_id", 8)
+      Bucketing.read(s, turnsT)
+        .join(Bucketing.read(s, purchT).hint("merge"), Seq("conv_id"), "left")
+        .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+          length(col("text")).cast("long").as("text_len"),
+          col6(col("purch_max")).as("purch_max"),
+          col("purch_cnt").cast("long").as("purch_cnt"))
+    }),
+
     "q_asof_join" -> ((s, dir) => asofResult(s, dir, Variant.Shuffle)),
     "q_asof_skew" -> ((s, dir) => asofResult(s, dir, Variant.Skew)),
     // identical semantics, third physical shape: right side collapses to
@@ -224,6 +270,34 @@ object WindowQueries {
          |       FLOOR(CAST((AVG(CAST(LENGTH(text) AS DOUBLE)) OVER (
          |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS run_mean_len
          |FROM transcripts""".stripMargin,
+
+    "q_bucketed" ->
+      s"""$cte,
+         |p AS (
+         |  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+         |         MAX(value) AS purch_max, COUNT(*) AS purch_cnt
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,
+         |       CAST(LENGTH(t.text) AS BIGINT) AS text_len,
+         |       FLOOR(CAST(p.purch_max AS DOUBLE) * 1000000 + 0.5) / 1000000 AS purch_max,
+         |       CAST(p.purch_cnt AS BIGINT) AS purch_cnt
+         |FROM transcripts t LEFT JOIN p USING (conv_id)""".stripMargin,
+
+    "q_groupby_salted" ->
+      s"""$cte,
+         |agg AS (
+         |  SELECT conv_id, COUNT(*) AS n,
+         |         SUM(CAST(LENGTH(text) AS DOUBLE)) AS s1,
+         |         SUM(CAST(LENGTH(text) AS DOUBLE) * CAST(LENGTH(text) AS DOUBLE)) AS s2,
+         |         MIN(LENGTH(text)) AS mn, MAX(LENGTH(text)) AS mx
+         |  FROM transcripts GROUP BY conv_id)
+         |SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,
+         |       FLOOR(CAST((s1 / n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_mean_len,
+         |       CASE WHEN n > 1 THEN FLOOR(CAST(SQRT((s2 - s1 * s1 / n) / (n - 1)) AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS conv_std_len,
+         |       CAST(mn AS BIGINT) AS conv_min_len, CAST(mx AS BIGINT) AS conv_max_len,
+         |       CAST(n AS BIGINT) AS conv_cnt,
+         |       FLOOR(CAST(s1 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_sum_len
+         |FROM transcripts t JOIN agg USING (conv_id)""".stripMargin,
 
     "q_asof_join" -> asofSql,
     "q_asof_skew" -> asofSql,

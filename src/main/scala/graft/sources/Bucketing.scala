@@ -31,6 +31,26 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketed]] that first drops the table AND deletes a stale
+    * warehouse location — a previous JVM's in-memory catalog is gone but
+    * its files survive, and saveAsTable refuses to reuse the path.
+    */
+  def replaceBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    drop(spark, table)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    deleteRecursively(new java.io.File(wh, table))
+    writeBucketed(df, table, key, buckets, sortCols)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
   def drop(spark: SparkSession, table: String): Unit = {

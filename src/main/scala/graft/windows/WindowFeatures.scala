@@ -91,6 +91,64 @@ object WindowFeatures {
   def groupByThenAtOrBefore(agg: Column => Column, value: Column, entity: String = "conv_id"): Column =
     agg(value).over(atOrBefore(entity))
 
+  /** Merged per-key algebraic aggregate state via an EXPLICIT two-phase
+    * salted aggregate: rows pre-aggregate on `(key, salt)` — a hot key's
+    * rows fan out over `salts` reducers instead of serializing into one —
+    * then the tiny partial table merges per key. The salt is a hash of the
+    * full row (deterministic, partitioning-independent). Output:
+    * `(key, __n, __s1, __s2, __min, __max)` — count / sum / sum-of-squares
+    * / min / max of `value`, from which every order-insensitive GroupByThen
+    * aggregate (mean, std, var, min, max, count, sum) derives exactly.
+    */
+  def saltedGroupAggs(df: DataFrame, keyCol: String, value: Column,
+      salts: Int = 32): DataFrame = {
+    val rowHash = xxhash64(struct(df.columns.map(col): _*))
+    df.select(col(keyCol), value.cast("double").as("__v"),
+        pmod(rowHash, lit(salts.toLong)).as("__salt"))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(col("__v")).as("__n"), sum(col("__v")).as("__s1"),
+        sum(col("__v") * col("__v")).as("__s2"),
+        min(col("__v")).as("__min"), max(col("__v")).as("__max"))
+      .groupBy(col(keyCol))
+      .agg(sum("__n").as("__n"), sum("__s1").as("__s1"), sum("__s2").as("__s2"),
+        min("__min").as("__min"), max("__max").as("__max"))
+  }
+
+  /** Skew-safe GroupByThen for the order-insensitive aggregates: the
+    * [[groupByThen]] window shuffles EVERY fact row to its key's partition
+    * and a hot key serializes into one task; here the fact rows never
+    * shuffle at all — [[saltedGroupAggs]] reduces them to per-key state
+    * (two-phase salted, SURVEY §7.4(1)) and the merged aggregates
+    * broadcast-join back onto the un-shuffled input. Appends
+    * `{prefix}_mean/std/min/max/cnt/sum`.
+    *
+    * std is the portable sample formula `sqrt((s2 - s1^2/n)/(n-1))` (exact
+    * parity with an oracle computing the same from SUM/SUM(x*x)/COUNT;
+    * integer-valued inputs make s1/s2 exact in doubles), null for n <= 1.
+    *
+    * @param broadcastJoin true when the key cardinality fits a broadcast
+    *                      (the common case — the fact side never shuffles);
+    *                      false falls back to a shuffle join, which AQE's
+    *                      skew-join splits across tasks — unlike a window,
+    *                      which can never split one key's partition
+    */
+  def groupByThenSalted(df: DataFrame, keyCol: String, value: Column,
+      prefix: String, salts: Int = 32, broadcastJoin: Boolean = true): DataFrame = {
+    val aggT0 = saltedGroupAggs(df, keyCol, value, salts)
+    val aggT = if (broadcastJoin) broadcast(aggT0) else aggT0
+    val n = col("__n").cast("double")
+    df.join(aggT, Seq(keyCol), "left")
+      .withColumn(s"${prefix}_mean", col("__s1") / n)
+      .withColumn(s"${prefix}_std",
+        when(col("__n") > 1,
+          sqrt((col("__s2") - col("__s1") * col("__s1") / n) / (n - 1))))
+      .withColumn(s"${prefix}_min", col("__min"))
+      .withColumn(s"${prefix}_max", col("__max"))
+      .withColumn(s"${prefix}_cnt", col("__n"))
+      .withColumn(s"${prefix}_sum", col("__s1"))
+      .drop("__n", "__s1", "__s2", "__min", "__max")
+  }
+
   /** All standard per-turn features of the minimum slice (SURVEY §7.2) in one
     * select — single shuffle on `conv_id`.
     */

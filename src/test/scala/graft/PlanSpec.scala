@@ -170,6 +170,64 @@ class PlanSpec extends SparkSpec {
       s"band join must have an equality key:\n$p")
   }
 
+  test("exact dedup scale path: the fingerprint exchange never carries the text blob") {
+    val docs = Tables.documents(spark, sf0001)
+    val p = plan(graft.dedup.Dedup.exactVerified(docs))
+    val lines = p.linesIterator.toVector
+    val idx = lines.indexWhere(_.contains("Exchange hashpartitioning(__fp"))
+    assert(idx >= 0, s"expected the fingerprint window exchange:\n$p")
+    // the exchange's input operator must OUTPUT (doc_id, fingerprint) only —
+    // text may appear inside the fp-computing expression (that is the point:
+    // hashed before the exchange), never as an output column
+    val child = lines.drop(idx + 1)
+      .find(l => l.contains("Project") || l.contains("Scan")).getOrElse("")
+    val outputsOnly = child.replaceAll("struct\\(.*\\) AS __fp#\\d+", "FP")
+    assert(child.contains("AS __fp#") && !outputsOnly.contains("text#"),
+      s"the fp exchange must move (id, fp) only, but its input is:\n$child")
+  }
+
+  test("AsOfJoin.auto routes to broadcast / plain / skew from input statistics") {
+    import graft.windows.AsOfJoin
+    import spark.implicits._
+    def turns(nConvs: Int, hotRows: Int): DataFrame =
+      spark.range(3000).select(
+        when(col("id") < hotRows, lit("hot"))
+          .otherwise(concat(lit("c"), pmod(col("id"), lit(nConvs.toLong)).cast("string")))
+          .as("conv_id"),
+        col("id").as("turn_idx"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"))
+    val right = spark.range(200).select(
+      concat(lit("c"), pmod(col("id"), lit(40L)).cast("string")).as("conv_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 7000000L).as("ts"),
+      col("id").as("seq"), col("id").cast("double").as("pval"))
+
+    // (a) dimension-sized right side -> broadcast shape, fact never shuffles
+    val pa = plan(AsOfJoin.auto(turns(40, 0), right, "conv_id", Seq("pval"), col("seq")))
+    assert(pa.contains("BroadcastHashJoin") && pa.toLowerCase.contains("asoflessorequal"),
+      s"expected the broadcast as-of shape:\n$pa")
+    // (b) big right (threshold 0), uniform keys -> plain union+window
+    val pb = plan(AsOfJoin.auto(turns(40, 0), right, "conv_id", Seq("pval"), col("seq"),
+      broadcastRows = 0))
+    assert(!pb.contains("Join") && !pb.contains("__bucket"),
+      s"expected the union+window shape:\n$pb")
+    // (c) big right, one conversation owning 80% of rows -> skew buckets
+    val pc = plan(AsOfJoin.auto(turns(40, 2400), right, "conv_id", Seq("pval"), col("seq"),
+      broadcastRows = 0))
+    assert(pc.contains("__bucket"), s"expected the skew-bucketed shape:\n$pc")
+  }
+
+  test("groupByThenSalted: fact rows never shuffle; aggregate broadcasts back") {
+    val t = Transcripts.fromEvents(Tables.events(spark, sf0001))
+    val out = graft.windows.WindowFeatures.groupByThenSalted(
+      t, "conv_id", length(col("text")).cast("double"), "conv")
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"), s"aggregate table must broadcast back:\n$p")
+    // exchanges: transcripts derivation (user_id) + the two salted aggregate
+    // phases (conv_id+salt, conv_id) — all on pre-aggregated or derivation
+    // rows; the fact branch feeds the join scan-side without a shuffle
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for the join:\n$p")
+  }
+
   test("column pruning: text-length projection reads only needed columns") {
     val t = Tables.events(spark, sf0001).select(length(col("props")).as("l"))
     val p = plan(t)

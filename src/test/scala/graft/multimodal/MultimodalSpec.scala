@@ -34,6 +34,21 @@ class MultimodalSpec extends SparkSpec {
     assert(mean == seed.map(b => (b & 0xff).toDouble).sum / seed.length)
   }
 
+  test("AVI round-trip: RIFF list walk, frame count cross-check, exact pixel mean") {
+    val bytes = Multimodal.MediaSynth.avi(seed)
+    // 12 px -> stride 36, frames = 12 % 4 + 2 = 2; fixed headers = 224 B
+    assert(bytes.length == 224 + 2 * (8 + 36), s"len=${bytes.length}")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    val (w, h, f, mean) = Multimodal.MediaDecoder.decode("video", bytes)
+    assert((w, h, f) == (12, 1, 2))
+    assert(mean == seed.map(b => (b & 0xff).toDouble).sum / seed.length)
+    // stride padding excluded: odd width forces padded rows
+    val odd = "abcde".getBytes("US-ASCII")
+    val (w2, _, f2, mean2) = Multimodal.MediaDecoder.decode("video", Multimodal.MediaSynth.avi(odd))
+    assert(w2 == 5 && f2 == 3)
+    assert(mean2 == odd.map(b => (b & 0xff).toDouble).sum / odd.length)
+  }
+
   test("malformed media fails loudly, never misparses") {
     intercept[IllegalArgumentException] {
       Multimodal.MediaDecoder.decode("image", "not a bitmap at all".getBytes)
@@ -45,6 +60,17 @@ class MultimodalSpec extends SparkSpec {
     val truncated = Multimodal.MediaSynth.bmp(seed).take(60)
     intercept[IllegalArgumentException] {
       Multimodal.MediaDecoder.decode("image", truncated)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaDecoder.decode("video", "RIFFxxxxNOPE".getBytes("US-ASCII"))
+    }
+    // frame-count mismatch between avih and movi must fail the cross-check
+    val avi = Multimodal.MediaSynth.avi(seed)
+    val tampered = avi.clone()
+    val bb = java.nio.ByteBuffer.wrap(tampered).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12 + 12 + 8 + 16, 99) // avih dwTotalFrames
+    intercept[IllegalArgumentException] {
+      Multimodal.MediaDecoder.decode("video", tampered)
     }
   }
 
@@ -69,6 +95,12 @@ class MultimodalSpec extends SparkSpec {
       assert(feats(id).media_type == "audio")
       assert((feats(id).width, feats(id).height, feats(id).frames) == (1, 16, t.length))
     }
-    assert(feats(2L).media_type == "video") // stub arm
+    // video doc (2): real AVI — width == text length, mean == mean ascii
+    val t2 = docs.filter(col("doc_id") === 2L).head().getString(1)
+    assert(feats(2L).media_type == "video")
+    assert((feats(2L).width, feats(2L).height, feats(2L).frames) ==
+      (t2.length, 1, t2.length % 4 + 2))
+    assert(feats(2L).decoded_mean ==
+      t2.getBytes("US-ASCII").map(b => (b & 0xff).toDouble).sum / t2.length)
   }
 }
