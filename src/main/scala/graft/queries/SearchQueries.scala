@@ -111,27 +111,38 @@ object SearchQueries {
         sin(col("event_id").cast("double")).as("x3"),
         (col("value") > med).cast("double").as("y"))
       val feats = Seq("x1", "x2", "x3")
-      val rfeOk = Selectors.rfe(ev, feats, "y", keep = 1) == Seq("x1")
-      // 2 rounds = strict 2-of-2 confirmation (each shadow permutation is
-      // ~6 small jobs; the gate property does not need BorutaPy's 100)
-      val borutaSel = Selectors.boruta(ev, feats, "y", rounds = 2)
-      val borutaOk = borutaSel.contains("x1") && !borutaSel.contains("x3")
-      val reliefOk = Selectors.reliefF(ev, feats, "y", keep = 1, probes = 128) == Seq("x1")
-      val sissoOk = Selectors.sisso(ev, feats, "y", keep = 2).headOption.contains("x1")
-      // SMOTE to parity on an ~8% minority; CNN condenses two blobs
       val imb = ev.withColumn("ym", (col("x1") > hi).cast("double"))
-      val sm = Sampling.smote(imb, Seq("x1", "x2"), "ym", minorityLabel = 1.0)
-        .groupBy("ym").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
-      val smoteOk = sm(1.0).toDouble / sm(0.0) > 0.7
-      val protos = Sampling.condensedNearestNeighbour(imb, Seq("x1"), "ym")
-      val cnnOk = protos.count() < 200 && protos.select("ym").distinct().count() == 2
-      // redundancy removal: x4 is an exact affine image of x1 -> the greedy
-      // pass must reduce the collinear pair to ONE member (it checks x1
-      // first, so x1 is the one dropped); independent x2 must survive
-      val red = FeatureSelection.redundancyRemoval(
-        ev.withColumn("x4", col("x1") * 2.0 + 5.0), Seq("x1", "x2", "x4"))
-      val redundancyOk = red.contains("x2") &&
-        Seq("x1", "x4").count(red.contains) == 1
+      // the 7 property checks are independent deterministic probes — run
+      // them concurrently (FitPool), results collected in call order
+      val Seq(rfeOk, borutaOk, reliefOk, sissoOk, smoteOk, cnnOk, redundancyOk) =
+        FitPool.all[Boolean](s, "selgate")(
+          () => Selectors.rfe(ev, feats, "y", keep = 1) == Seq("x1"),
+          // 2 rounds = strict 2-of-2 confirmation (each shadow permutation is
+          // ~6 small jobs; the gate property does not need BorutaPy's 100)
+          () => {
+            val sel = Selectors.boruta(ev, feats, "y", rounds = 2)
+            sel.contains("x1") && !sel.contains("x3")
+          },
+          () => Selectors.reliefF(ev, feats, "y", keep = 1, probes = 128) == Seq("x1"),
+          () => Selectors.sisso(ev, feats, "y", keep = 2).headOption.contains("x1"),
+          // SMOTE to parity on an ~8% minority; CNN condenses two blobs
+          () => {
+            val sm = Sampling.smote(imb, Seq("x1", "x2"), "ym", minorityLabel = 1.0)
+              .groupBy("ym").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+            sm(1.0).toDouble / sm(0.0) > 0.7
+          },
+          () => {
+            val protos = Sampling.condensedNearestNeighbour(imb, Seq("x1"), "ym")
+            protos.count() < 200 && protos.select("ym").distinct().count() == 2
+          },
+          // redundancy removal: x4 is an exact affine image of x1 -> the
+          // greedy pass must reduce the collinear pair to ONE member (it
+          // checks x1 first, so x1 is the one dropped); x2 must survive
+          () => {
+            val red = FeatureSelection.redundancyRemoval(
+              ev.withColumn("x4", col("x1") * 2.0 + 5.0), Seq("x1", "x2", "x4"))
+            red.contains("x2") && Seq("x1", "x4").count(red.contains) == 1
+          })
       Seq((b2l(rfeOk), b2l(borutaOk), b2l(reliefOk), b2l(sissoOk), b2l(smoteOk),
           b2l(cnnOk), b2l(redundancyOk)))
         .toDF("rfe_ok", "boruta_ok", "relief_ok", "sisso_ok", "smote_ok",
@@ -147,11 +158,6 @@ object SearchQueries {
       import s.implicits._
       import graft.exprs._
       val base = searchBase(s, dir)
-      val path = Cognito.run(base,
-        Seq("text_len", "gap_secs", "roll5_mean_len", "turn_pos"),
-        col("label_next_tool"), maxDepth = 2)
-      val cogOk = path.nonEmpty &&
-        path.sliding(2).forall { case Seq(a, b) => b.mi > a.mi; case _ => true }
       val planted = Tables.events(s, dir).filter(col("event_id") < 2500).select(
           (pmod(xxhash64(col("event_id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
           (pmod(xxhash64(col("event_id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"))
@@ -163,21 +169,33 @@ object SearchQueries {
         Canon.key(res.best.expr).contains("mul") &&
           res.best.score > res.seen.filter(_.complexity == 1).map(_.score).max
       }
-      val globalOk = findsMul(Traversals.PopRule.BestScore, 3)
-      val harmonicOk = findsMul(Traversals.PopRule.HarmonicMean, 5)
-      val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
-        .select(col("event_id"), col("value").as("x1"),
-          pmod(col("event_id") * 31, lit(17)).cast("double").as("x2"),
-          (col("event_id") % 2 === 0).as("prot"),
-          (col("event_id") % 3).cast("string").as("ctx"))
-      val med = ev.agg(percentile(col("x1"), lit(0.5))).head().getDouble(0)
-      val labeled = ev.withColumn("y", (col("x1") > med).cast("double"))
-      val front = Nsga2.selectFeatures(labeled, Seq("x1", "x2"), "y",
-        col("prot"), Seq("ctx"), popSize = 6, generations = 1, seed = 7L)
-      val nonDominated = front.forall(a => front.forall(b =>
-        a == b || !(a.objectives.zip(b.objectives).forall { case (x, y) => x >= y } &&
-          a.objectives.zip(b.objectives).exists { case (x, y) => x > y })))
-      Seq((b2l(cogOk), b2l(globalOk), b2l(harmonicOk), b2l(front.nonEmpty && nonDominated)))
+      // the 4 traversal probes are independent -> concurrent (FitPool)
+      val Seq(cogOk, globalOk, harmonicOk, nsgaOk) = FitPool.all[Boolean](s, "travgate")(
+        () => {
+          val path = Cognito.run(base,
+            Seq("text_len", "gap_secs", "roll5_mean_len", "turn_pos"),
+            col("label_next_tool"), maxDepth = 2)
+          path.nonEmpty &&
+            path.sliding(2).forall { case Seq(a, b) => b.mi > a.mi; case _ => true }
+        },
+        () => findsMul(Traversals.PopRule.BestScore, 3),
+        () => findsMul(Traversals.PopRule.HarmonicMean, 5),
+        () => {
+          val ev = Tables.events(s, dir).filter(col("event_id") < 3000)
+            .select(col("event_id"), col("value").as("x1"),
+              pmod(col("event_id") * 31, lit(17)).cast("double").as("x2"),
+              (col("event_id") % 2 === 0).as("prot"),
+              (col("event_id") % 3).cast("string").as("ctx"))
+          val med = ev.agg(percentile(col("x1"), lit(0.5))).head().getDouble(0)
+          val labeled = ev.withColumn("y", (col("x1") > med).cast("double"))
+          val front = Nsga2.selectFeatures(labeled, Seq("x1", "x2"), "y",
+            col("prot"), Seq("ctx"), popSize = 6, generations = 1, seed = 7L)
+          val nonDominated = front.forall(a => front.forall(b =>
+            a == b || !(a.objectives.zip(b.objectives).forall { case (x, y) => x >= y } &&
+              a.objectives.zip(b.objectives).exists { case (x, y) => x > y })))
+          front.nonEmpty && nonDominated
+        })
+      Seq((b2l(cogOk), b2l(globalOk), b2l(harmonicOk), b2l(nsgaOk)))
         .toDF("cognito_ok", "global_ok", "harmonic_ok", "nsga2_ok")
     }),
 
@@ -203,20 +221,28 @@ object SearchQueries {
       val base = CdfcConfig(cMax = 6, binaryOps = Seq(BinOp.Mul),
         unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty,
         stopAfterNonImproving = 2)
-      val res = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"), base).run()
+      // 3 independent probe chains (plain search, harmonic-stop search,
+      // repeated CV) -> concurrent (FitPool)
+      val chains = FitPool.all[Any](s, "spgate")(
+        () => new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"), base).run(),
+        () => new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
+          base.copy(harmonicStop = true)).run(),
+        () => {
+          val cv = ev.withColumn("prod", col("x1") * col("x2"))
+          LrScorer.repeatedCv(cv, Seq("prod"), "y", repeats = 3, folds = 3)
+        })
+      val res = chains(0).asInstanceOf[CdfcResult]
+      val resH = chains(1).asInstanceOf[CdfcResult]
+      val (mu, sd) = chains(2).asInstanceOf[(Double, Double)]
       val inheritedRows = res.survivors.filter(_.inherited)
       val skipOk = inheritedRows.nonEmpty && inheritedRows.forall(!_.passed)
       val stopOk = res.layers.size < base.cMax &&
         res.best.key.contains("mul")
-      val resH = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
-        base.copy(harmonicStop = true)).run()
       // the harmonic stop may cut a layer earlier, and a later layer can
       // contain an equal-scoring rewrite of the champion — so pin "stops no
       // later AND still lands on the planted composition", not key equality
       val autoStopOk = resH.layers.size <= res.layers.size &&
         resH.best.key.contains("mul")
-      val cv = ev.withColumn("prod", col("x1") * col("x2"))
-      val (mu, sd) = LrScorer.repeatedCv(cv, Seq("prod"), "y", repeats = 3, folds = 3)
       val repeatedOk = mu > 0.9 && sd < 0.05
       Seq((b2l(skipOk), b2l(stopOk), b2l(autoStopOk), b2l(repeatedOk)))
         .toDF("skip_ok", "stop_ok", "autostop_ok", "repeated_cv_ok")
@@ -295,9 +321,12 @@ object SearchQueries {
         .repartition(4, col("event_id")).sortWithinPartitions("event_id")
       val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(graft.exprs.BinOp.Mul),
         unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)
-      val mi = new Cdfc(ev, Seq("x1", "x2", "x3"), Nil, Nil, col("y"), cfg).run()
-      val lr = new Cdfc(ev, Seq("x1", "x2", "x3"), Nil, Nil, col("y"),
-        cfg.copy(lrTopK = 4)).run()
+      // MI-only and LR-driven searches are independent -> concurrent
+      val runs = FitPool.all[CdfcResult](s, "cdfclrgate")(
+        () => new Cdfc(ev, Seq("x1", "x2", "x3"), Nil, Nil, col("y"), cfg).run(),
+        () => new Cdfc(ev, Seq("x1", "x2", "x3"), Nil, Nil, col("y"),
+          cfg.copy(lrTopK = 4)).run())
+      val (mi, lr) = (runs(0), runs(1))
       val lrOk = lr.best.key == "mul(x2,x3)"
       val divergedOk = mi.best.key.contains("x1") && !mi.best.key.contains("mul")
       cdfcLrOracle = Some(
@@ -322,13 +351,19 @@ object SearchQueries {
         .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
       val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
         unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax), groupByAggs = Seq.empty)
-      val fresh = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"), cfg).run()
       val ckdir = java.nio.file.Files.createTempDirectory("graft_resume").toFile
       try {
-        new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
-          cfg.copy(cMax = 2), Some(ckdir.toString)).run()
-        val resumed = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
-          cfg, Some(ckdir.toString)).run()
+        // the uninterrupted run and the stop+resume chain are independent ->
+        // concurrent (FitPool); the resume chain stays internally sequential
+        val runs = FitPool.all[CdfcResult](s, "resgate")(
+          () => new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"), cfg).run(),
+          () => {
+            new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
+              cfg.copy(cMax = 2), Some(ckdir.toString)).run()
+            new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
+              cfg, Some(ckdir.toString)).run()
+          })
+        val (fresh, resumed) = (runs(0), runs(1))
         def canon(r: CdfcResult) = r.survivors
           .map(sc => (sc.key, sc.complexity, math.rint(sc.score * 1e9), sc.passed, sc.inherited))
           .sortBy(_._1)

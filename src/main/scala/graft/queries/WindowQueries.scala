@@ -129,6 +129,10 @@ object WindowQueries {
 
     "q_asof_join" -> ((s, dir) => asofResult(s, dir, Variant.Shuffle)),
     "q_asof_skew" -> ((s, dir) => asofResult(s, dir, Variant.Skew)),
+    // auto-planned route (cost-based pick from measured stats; on this
+    // fixture the purchase side is dimension-sized -> broadcast shape);
+    // values must equal the same as-of SQL regardless of route
+    "q_asof_auto" -> ((s, dir) => asofResult(s, dir, Variant.Auto)),
     // identical semantics, third physical shape: right side collapses to
     // per-entity sorted arrays and broadcasts; the 100 TB left side never
     // shuffles; visibility via the codegen'd AsOfLessOrEqual expression
@@ -168,7 +172,7 @@ object WindowQueries {
     })
   )
 
-  private object Variant extends Enumeration { val Shuffle, Skew, Broadcast = Value }
+  private object Variant extends Enumeration { val Shuffle, Skew, Broadcast, Auto = Value }
 
   private def asofResult(s: SparkSession, dir: String, v: Variant.Value): DataFrame = {
     val left = T(s, dir)
@@ -180,6 +184,7 @@ object WindowQueries {
     val joined = v match {
       case Variant.Skew => AsOfJoin.asOfSkew(left, right, "conv_id", Seq("pval"), col("event_id"), 16)
       case Variant.Broadcast => AsOfJoin.asOfBroadcast(left, right, "conv_id", Seq("pval"), col("event_id"))
+      case Variant.Auto => AsOfJoin.auto(left, right, "conv_id", Seq("pval"), col("event_id"))
       case _ => AsOfJoin.asOf(left, right, "conv_id", Seq("pval"), col("event_id"))
     }
     joined.select(
@@ -302,6 +307,7 @@ object WindowQueries {
     "q_asof_join" -> asofSql,
     "q_asof_skew" -> asofSql,
     "q_asof_broadcast" -> asofSql,
+    "q_asof_auto" -> asofSql,
 
     "q_streaming" ->
       s"""$cte,

@@ -36,6 +36,12 @@ object FitPool {
     t
   }
 
+  /** Run independent thunks concurrently (heterogeneous tasks — e.g. the
+    * property-gate queries' independent checks); results in call order.
+    */
+  def all[A](spark: SparkSession, label: String)(thunks: (() => A)*): Seq[A] =
+    map(spark, label, thunks)(t => t())
+
   /** Map `f` over `xs` with concurrent Spark-job submission; each task runs
     * in its own FAIR pool named `label-i`. Exceptions propagate (first by
     * task order). Falls back to a plain map for 0/1 tasks.
