@@ -32,7 +32,14 @@ object ScalingBench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores * 8)
+      // shuffle partitions: SPARK_GRAFT_SHUFFLE_PARTS pins an ABSOLUTE
+      // count (same physical plan at every parallelism level — the cleanest
+      // N-vs-4N comparison); otherwise cores * SPARK_GRAFT_SHUFFLE_MULT
+      // (default 8, the A/B'd sweet spot for low-core sides; 32/core
+      // measured ~9% faster at 4 cores via finer AQE-coalesced grain)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt).getOrElse(
+          cores * sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "8").toInt))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
