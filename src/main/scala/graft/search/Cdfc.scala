@@ -178,16 +178,28 @@ final class Cdfc(
     val lrScores = collection.mutable.HashMap[String, Double]()
     lazy val dfLr = df.withColumn("__cdfc_label", label)
     def lrAucOf(e: FeatureExpr): Double = {
-      val n = Lower.alias(e)
-      val mat = LayerBuilder.select(dfLr, Seq("__cdfc_label"), Seq(n -> e), fit)
-      LrScorer.score(mat, Seq(n), "__cdfc_label", cfg.lrFolds, cfg.lrGrid).auc
+      // keep EVERY input column in the fold matrix: the fold hash needs
+      // full-row entropy, or a low-cardinality candidate (one-hot, group
+      // mean over few keys) collapses whole value-groups into one fold
+      val mat = LayerBuilder.select(dfLr, dfLr.columns.toSeq, Seq("__lr_feat" -> e), fit)
+      LrScorer.score(mat, Seq("__lr_feat"), "__cdfc_label", cfg.lrFolds, cfg.lrGrid).auc
+    }
+    // parents whose AUC participates in the LR gain: the group KEY of a
+    // GroupByThen is not a feature, and a categorical raw column (a one-hot
+    // child) cannot be LR-fitted — both are excluded from gain baselines
+    def lrGainParents(e: FeatureExpr): Seq[FeatureExpr] = {
+      val ps = e match {
+        case GroupByThenE(_, v, _) => Seq(v)
+        case other                 => parentsOf(other)
+      }
+      ps.filter(p => profileOf(p).forall(_.isNumeric))
     }
     def lrRescore(startIdx: Int, cost: Int): Unit = {
       val layerNew = (startIdx until survivors.size)
         .map(i => i -> survivors(i)).filter { case (_, s) => s.passed && !s.inherited }
       if (layerNew.isEmpty) return
       val top = layerNew.sortBy { case (_, s) => (-s.score, s.key) }.take(cfg.lrTopK)
-      val need = (top.map(_._2.expr) ++ top.flatMap(t => parentsOf(t._2.expr)))
+      val need = (top.map(_._2.expr) ++ top.flatMap(t => lrGainParents(t._2.expr)))
         .distinctBy(Canon.key).filterNot(e => lrScores.contains(Canon.key(e)))
       // concurrent fits (FitPool); insert in task order -> deterministic
       lrScores ++= FitPool.map(df.sparkSession, "cdfc-lr", need)(e => Canon.key(e) -> lrAucOf(e))
@@ -195,7 +207,7 @@ final class Cdfc(
         val auc = lrScores(s.key)
         val isRawOrOneHot = s.expr.isInstanceOf[RawCol] ||
           (s.expr match { case Unary(UnaryOp.EqualsStr(_), _) => true; case _ => false })
-        val parentAuc = parentsOf(s.expr).flatMap(p => lrScores.get(Canon.key(p)))
+        val parentAuc = lrGainParents(s.expr).flatMap(p => lrScores.get(Canon.key(p)))
           .maxOption.getOrElse(0.5)
         val pass = isRawOrOneHot || auc - parentAuc > cfg.epsilon
         survivors(i) = s.copy(score = auc, passed = pass)

@@ -79,12 +79,21 @@ object LrScorer {
       .setRegParam(reg).setMaxIter(50).setTol(1e-6)
       .fit(train)
     val pred = model.transform(test)
-    val auc = new BinaryClassificationEvaluator()
-      .setRawPredictionCol("probability").setMetricName("areaUnderROC")
-      .evaluate(pred)
-    val hard = (vectorElement(col("probability"), 1) > 0.5).cast("double")
+    // a single-class training fold yields a 1-class model (probability
+    // vector of length 1, which the AUC evaluator rejects): score it as the
+    // constant predictor it is — p(1) is 1 or 0, AUC is the 0.5 coin
+    val singleClass = model.numClasses < 2
+    val p1: Column =
+      if (!singleClass) vectorElement(col("probability"), 1)
+      else lit(train.select(col("label")).head().getDouble(0))
+    val auc =
+      if (singleClass) 0.5
+      else new BinaryClassificationEvaluator()
+        .setRawPredictionCol("probability").setMetricName("areaUnderROC")
+        .evaluate(pred)
+    val hard = (p1 > 0.5).cast("double")
     val m = pred
-      .select(vectorElement(col("probability"), 1).as("p"), col("label"), hard.as("yh"))
+      .select(p1.as("p"), col("label"), hard.as("yh"))
       .agg(
         sum(pow(col("label") - col("p"), 2)).as("rss"),
         count(lit(1)).as("n"),
@@ -138,7 +147,13 @@ object LrScorer {
         fitFold(df, assembler, featureCols, reg, f)
       }
       val perGrid = grid.indices.map(gi => stats.slice(gi * folds, (gi + 1) * folds))
-      val best = perGrid.maxBy(per => per.map(_.auc).sum / folds)
+      // primary: best mean CV AUC (the reference's criterion). Tie-break:
+      // LOWER out-of-fold rss — a separable candidate ties every grid point
+      // at AUC 1.0, and the reference's first-in-grid-order pick would keep
+      // the most-regularized (worst-calibrated) model, making the rss the
+      // information criteria feed on degenerate; preferring the calibrated
+      // model among AUC-equals is the deterministic, semantics-preserving fix
+      val best = perGrid.maxBy(per => (per.map(_.auc).sum / folds, -per.map(_.rss).sum))
 
       def mean(g: FoldStats => Double): Double = best.map(g).sum / folds
       val kF = featureCols.size.toDouble
@@ -199,9 +214,10 @@ object LrScorer {
 
   private def aiccOf(df: DataFrame, ch: Scored, fit: FitStats, labelCol: String,
       folds: Int, grid: Seq[Double]): Double = {
-    val name = Lower.alias(ch.expr)
-    val mat = LayerBuilder.select(df, Seq(labelCol), Seq(name -> ch.expr), fit)
-    val s = score(mat, Seq(name), labelCol, folds, grid, complexity = ch.complexity)
+    // keep the full input row so the fold hash has row entropy even for
+    // low-cardinality champions (one-hot, discretized)
+    val mat = LayerBuilder.select(df, df.columns.toSeq, Seq("__lr_feat" -> ch.expr), fit)
+    val s = score(mat, Seq("__lr_feat"), labelCol, folds, grid, complexity = ch.complexity)
     val k = ch.complexity.toDouble
     val n = s.n.toDouble
     2 * k + n * math.log(math.max(s.rss, 1e-12) / n) + (2 * k * (k + 1)) / math.max(n - k - 1, 1.0)

@@ -147,6 +147,23 @@ class CdfcSpec extends SparkSpec {
     assert(lr.best.score > 0.6 && lr.best.score < 1.0) // an AUC, not an MI
   }
 
+  test("lrTopK tolerates group-by and one-hot candidates (non-numeric parents excluded)") {
+    val df = spark.range(600).select(
+      (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+      (pmod(xxhash64(col("id") + 3), lit(100)).cast("double") / 100 + 0.5).as("x2"),
+      concat(lit("k"), pmod(col("id"), lit(5)).cast("string")).as("k"),
+      concat(lit("c"), pmod(col("id"), lit(3)).cast("string")).as("cat"))
+      .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+    // one-hot children are categorical raws; GroupByThen parents include a
+    // string key — neither may reach the LR fitter as a feature
+    val res = new Cdfc(df, Seq("x1", "x2"), Seq("cat"), Seq("k"), col("y"),
+      CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax),
+        groupByAggs = Seq(AggKind.Mean), lrTopK = 4)).run()
+    assert(res.survivors.nonEmpty)
+    assert(res.best.score > 0.5 && res.best.score <= 1.0)
+  }
+
   test("harmonic-mean auto-stop halts an unbounded search before cMax") {
     val df = spark.range(2000).select(
       (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
