@@ -53,6 +53,9 @@ object TextQueries {
     "q_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingles(docs(s, dir)), threshold = 0.2)),
 
+    "q_rep_signals" -> ((s, dir) =>
+      TextFeatures.repetitionSignals(docs(s, dir))),
+
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.attachBinary(docs(s, dir))).toDF
         .select(col("doc_id"), col("media_type"), col("byte_len"),
@@ -163,6 +166,44 @@ object TextQueries {
          |  ON l.band = r.band AND l.byte = r.byte AND l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""".stripMargin
     },
+
+    // Gopher-style repetition/quality signals (deterministic char-coverage
+    // convention documented at TextFeatures.repetitionSignals)
+    "q_rep_signals" ->
+      s"""WITH $tokCte,
+         |n2 AS (
+         |  SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS ngram, COUNT(*) AS cnt
+         |  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |  GROUP BY 1, 2),
+         |top2 AS (
+         |  SELECT doc_id, cnt * (LENGTH(ngram) - 1) AS c FROM (
+         |    SELECT doc_id, ngram, cnt,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram ASC) AS rn
+         |    FROM n2)
+         |  WHERE rn = 1),
+         |n3 AS (
+         |  SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS ngram, COUNT(*) AS cnt
+         |  FROM tok t1
+         |  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+         |  GROUP BY 1, 2),
+         |dup3 AS (
+         |  SELECT doc_id, SUM(cnt * (LENGTH(ngram) - 2)) AS c
+         |  FROM n3 WHERE cnt >= 2 GROUP BY doc_id),
+         |b AS (
+         |  SELECT doc_id,
+         |         CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS chars,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) AS alpha,
+         |         CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) +
+         |              (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3 AS DOUBLE) AS symbols
+         |  FROM documents)
+         |SELECT b.doc_id,
+         |  FLOOR(CAST((COALESCE(top2.c, 0) / chars) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top2_char_frac,
+         |  FLOOR(CAST((COALESCE(dup3.c, 0) / chars) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup3_char_frac,
+         |  FLOOR(CAST((symbols / words) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS symbol_word_ratio,
+         |  FLOOR(CAST((alpha / words) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS alpha_word_frac
+         |FROM b LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)""".stripMargin,
 
     "q_minhash" -> minhashSql(),
     "q_lsh_pairs" -> {

@@ -169,8 +169,62 @@ object WindowQueries {
         col6(col("run_mean_len")).as("run_mean_len"),
         col("last_tool"),
         col("session_id").cast("long").as("session_id"))
+    }),
+
+    "q_stream_session" -> ((s, dir) => streamSessionResult(s, dir)),
+
+    // Dictionary encode -> window over the ENCODED ints -> decode: output
+    // must equal computing the same backfill over the raw strings (the
+    // oracle recomputes from raw text in DuckDB). This is the flagship
+    // exchange's payload trick under the value gate: nulls round-trip so
+    // last(ignoreNulls) backfills behave identically on encoded columns.
+    "q_dict_roundtrip" -> ((s, dir) => {
+      import graft.transforms.DictEncode
+      val t = T(s, dir)
+      val dicts = DictEncode.fit(t, Seq("role"))
+      val toolDict = DictEncode.fit(t.filter(col("tool").isNotNull), Seq("tool"))("tool")
+      val enc = t.select(col("conv_id"), col("turn_idx"), col("ts"),
+        dicts("role").encode.as("role_id"), toolDict.encodeOf(col("tool")).as("tool_id"))
+      val w = WF.atOrBefore()
+      enc.select(
+        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        dicts("role").decode(col("role_id")).as("role"),
+        toolDict.decode(last(col("tool_id"), ignoreNulls = true).over(w)).as("last_tool"))
     })
   )
+
+  /** Built-in `session_window` under the DuckDB gate: per-(conv, session)
+    * aggregates computed by the streaming session-window operator over a
+    * 2-micro-batch MemoryStream (complete mode — sessions merge across the
+    * batch boundary), checked against the batch gap-island SQL. The
+    * session_window merge rule is STRICT overlap (a new session starts when
+    * the gap is >= the window gap), which the oracle mirrors.
+    */
+  private def streamSessionResult(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val turns = T(s, dir).as[graft.transcripts.Turn].collect()
+      .sortBy(t => (micros(t.ts), t.turn_idx))
+    val (first, second) = turns.splitAt(turns.length / 2)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
+    val qn = "graft_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = graft.streaming.StreamingFeatures.sessionAggregates(stream.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    stream.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn).select(
+      col("conv_id"),
+      unix_micros(col("window_start")).as("window_start_us"),
+      col("session_turns").cast("long").as("session_turns"),
+      col("session_chars").cast("long").as("session_chars"),
+      unix_micros(col("session_end")).as("session_end_us"))
+  }
 
   private object Variant extends Enumeration { val Shuffle, Skew, Broadcast, Auto = Value }
 
@@ -308,6 +362,32 @@ object WindowQueries {
     "q_asof_skew" -> asofSql,
     "q_asof_broadcast" -> asofSql,
     "q_asof_auto" -> asofSql,
+
+    "q_dict_roundtrip" ->
+      s"""$cte
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+         |       LAST_VALUE(tool IGNORE NULLS) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tool
+         |FROM transcripts""".stripMargin,
+
+    "q_stream_session" ->
+      s"""$cte,
+         |g AS (
+         |  SELECT conv_id, ts, turn_idx, LENGTH(text) AS len,
+         |         CASE WHEN LAG(ts) OVER ($wSql) IS NULL THEN 1
+         |              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER ($wSql) >= 1800000000 THEN 1
+         |              ELSE 0 END AS is_start
+         |  FROM transcripts),
+         |sess AS (
+         |  SELECT conv_id, ts, len,
+         |         SUM(is_start) OVER ($wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g)
+         |SELECT conv_id,
+         |       MIN(epoch_us(ts)) AS window_start_us,
+         |       CAST(COUNT(*) AS BIGINT) AS session_turns,
+         |       CAST(SUM(len) AS BIGINT) AS session_chars,
+         |       MAX(epoch_us(ts)) AS session_end_us
+         |FROM sess GROUP BY conv_id, sid""".stripMargin,
 
     "q_streaming" ->
       s"""$cte,

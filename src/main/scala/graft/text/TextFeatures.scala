@@ -103,6 +103,56 @@ object TextFeatures {
           (lit(1.0) - nShort / nTok) * 0.3).as("quality"))
   }
 
+  /** Gopher-style repetition / quality signals (Rae et al. 2021, §A1.1 —
+    * public filter definitions), computed per document from the word n-gram
+    * tables. Character accounting is the deterministic convention
+    * "occurrences × n-gram length (spaces excluded) / document characters
+    * (spaces excluded)" — overlap-free by construction so both engines
+    * agree exactly:
+    *
+    *  - `top2_char_frac`: chars covered by the MOST FREQUENT word 2-gram
+    *    (ties: lexicographically smallest)
+    *  - `dup3_char_frac`: chars covered by all 3-grams occurring >= 2 times
+    *  - `symbol_word_ratio`: '#' and '...' occurrences per word
+    *  - `alpha_word_frac`: fraction of words containing a letter
+    *
+    * Plan shape: one n-gram groupBy per signal family + a broadcast-free
+    * groupBy(doc) roll-up joined back to the doc row — no windows over raw
+    * text, no cross joins.
+    */
+  def repetitionSignals(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import graft.exprs.PortableRound.col6
+    import graft.text.{TextVectors => TV}
+    val toks = split(col(text), " ")
+    val base = docs.select(
+      col(id),
+      (length(col(text)) - (size(toks) - 1)).cast("double").as("__chars"),
+      size(toks).cast("double").as("__words"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double").as("__alpha"),
+      (size(split(col(text), "#", -1)) - 1 +
+        size(split(col(text), "\\.\\.\\.", -1)) - 1).cast("double").as("__symbols"))
+    val top2 = TV.ngramCounts(docs, 2, id, text)
+      .groupBy(col(id))
+      .agg(min_by(
+        (col("cnt") * (length(col("ngram")) - 1)),
+        // most frequent first; ties -> lexicographically smallest ngram
+        struct((-col("cnt")).as("__nc"), col("ngram"))).as("__top2"))
+    val dup3 = TV.ngramCounts(docs, 3, id, text)
+      .filter(col("cnt") >= 2)
+      .groupBy(col(id))
+      .agg(sum(col("cnt") * (length(col("ngram")) - 2)).as("__dup3"))
+    base
+      .join(top2, Seq(id), "left")
+      .join(dup3, Seq(id), "left")
+      .select(
+        col(id),
+        col6(coalesce(col("__top2"), lit(0L)).cast("double") / col("__chars")).as("top2_char_frac"),
+        col6(coalesce(col("__dup3"), lit(0L)).cast("double") / col("__chars")).as("dup3_char_frac"),
+        col6(col("__symbols") / col("__words")).as("symbol_word_ratio"),
+        col6(col("__alpha") / col("__words")).as("alpha_word_frac"))
+  }
+
   /** Stopword-lexicon language-ID heuristic: hit counts per language,
     * argmax with alphabetical tie-break (deterministic).
     */
