@@ -173,6 +173,34 @@ object WindowQueries {
 
     "q_stream_session" -> ((s, dir) => streamSessionResult(s, dir)),
 
+    // Watermarked tumbling windows over the same 2-batch stream (complete
+    // mode): counts/char-sums per (conv, 10-minute window) == the batch
+    // epoch-floor groupBy in SQL
+    "q_stream_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      def micros(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      val turns = T(s, dir).as[graft.transcripts.Turn].collect()
+        .sortBy(t => (micros(t.ts), t.turn_idx))
+      val (first, second) = turns.splitAt(turns.length / 2)
+      val stream =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
+      val qn = "graft_tumb_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamingFeatures.tumblingAggregates(stream.toDF())
+        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+      stream.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn).select(
+        col("conv_id"),
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("turns").cast("long").as("turns"),
+        col("chars").cast("long").as("chars"))
+    }),
+
     // Dictionary encode -> window over the ENCODED ints -> decode: output
     // must equal computing the same backfill over the raw strings (the
     // oracle recomputes from raw text in DuckDB). This is the flagship
@@ -369,6 +397,14 @@ object WindowQueries {
          |       LAST_VALUE(tool IGNORE NULLS) OVER (
          |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tool
          |FROM transcripts""".stripMargin,
+
+    "q_stream_tumbling" ->
+      s"""$cte
+         |SELECT conv_id,
+         |       CAST(FLOOR(epoch_us(ts) / 600000000) * 600000000 AS BIGINT) AS window_start_us,
+         |       CAST(COUNT(*) AS BIGINT) AS turns,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
+         |FROM transcripts GROUP BY 1, 2""".stripMargin,
 
     "q_stream_session" ->
       s"""$cte,

@@ -52,7 +52,10 @@ object FitPool {
     val futures = xs.zipWithIndex.map { case (a, i) =>
       exec.submit(new java.util.concurrent.Callable[B] {
         def call(): B = {
-          sc.setLocalProperty("spark.scheduler.pool", s"$label-$i")
+          // pool index recycles mod 32: the scheduler retains every pool it
+          // has ever seen, so unbounded names would leak in a long-lived
+          // driver; the label set is small and 32 fair shares is plenty
+          sc.setLocalProperty("spark.scheduler.pool", s"$label-${i % 32}")
           try f(a)
           finally sc.setLocalProperty("spark.scheduler.pool", null)
         }
