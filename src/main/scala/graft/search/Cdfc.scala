@@ -294,7 +294,12 @@ final class Cdfc(
       st.survivors.foreach { r =>
         val e = FeatureExprParser.parse(r.expr)
         survivors += Scored(e, r.expr, r.complexity, r.score, r.passed, r.inherited)
-        byComplexity(r.complexity) = byComplexity(r.complexity) :+ e
+        // pool membership mirrors the fresh run: passed candidates and
+        // inherited (affine) ones compose further; an LR-rejected survivor
+        // (passed=false, not inherited) was REMOVED from the pool by
+        // lrRescore and must stay out after a resume too
+        if (r.passed || r.inherited)
+          byComplexity(r.complexity) = byComplexity(r.complexity) :+ e
       }
     }
 

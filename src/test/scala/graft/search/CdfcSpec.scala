@@ -164,6 +164,36 @@ class CdfcSpec extends SparkSpec {
     assert(res.best.score > 0.5 && res.best.score <= 1.0)
   }
 
+  test("resume under lrTopK: LR-rejected candidates stay out of the pool") {
+    val df = spark.range(2500).select(
+      (pmod(col("id") * 2654435761L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x1"),
+      (pmod(col("id") * 2246822519L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x2"),
+      (pmod(col("id") * 3266489917L, lit(1009L)).cast("double") / 1009.0 + 0.5).as("x3"),
+      pmod(col("id") * 668265263L, lit(10L)).as("g"))
+      .withColumn("y", when(col("g") < 4, (col("x2") * col("x3") > 1.0).cast("int"))
+        .otherwise(pmod(floor((col("x1") - 0.5) * 10).cast("long"), lit(2L)).cast("int")))
+      .drop("g")
+      .repartition(4).sortWithinPartitions("x1")
+    val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
+      unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty, lrTopK = 4)
+    val fresh = new Cdfc(df, Seq("x1", "x2", "x3"), Nil, Nil, col("y"), cfg).run()
+    val ckdir = java.nio.file.Files.createTempDirectory("graft_lr_resume").toFile
+    def rmrf(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmrf); f.delete(); ()
+    }
+    try {
+      new Cdfc(df, Seq("x1", "x2", "x3"), Nil, Nil, col("y"),
+        cfg.copy(cMax = 2), Some(ckdir.toString)).run()
+      val resumed = new Cdfc(df, Seq("x1", "x2", "x3"), Nil, Nil, col("y"),
+        cfg, Some(ckdir.toString)).run()
+      def canon(r: CdfcResult) = r.survivors
+        .map(sc => (sc.key, sc.complexity, math.rint(sc.score * 1e9), sc.passed, sc.inherited))
+        .sortBy(_._1)
+      assert(canon(resumed) == canon(fresh))
+      assert(resumed.best.key == fresh.best.key)
+    } finally rmrf(ckdir)
+  }
+
   test("harmonic-mean auto-stop halts an unbounded search before cMax") {
     val df = spark.range(2000).select(
       (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
