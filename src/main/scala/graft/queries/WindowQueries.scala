@@ -133,6 +133,22 @@ object WindowQueries {
     // fixture the purchase side is dimension-sized -> broadcast shape);
     // values must equal the same as-of SQL regardless of route
     "q_asof_auto" -> ((s, dir) => asofResult(s, dir, Variant.Auto)),
+
+    // time-range aggregate join: purchases in the trailing hour per turn
+    // (count/max only — exact under any accumulation order, so the oracle
+    // comparison is bit-stable; a float SUM would be order-sensitive)
+    "q_range_join" -> ((s, dir) => {
+      val left = T(s, dir)
+      val right = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+      AsOfJoin.rangeAgg(left, right, "conv_id", "value", 3600L,
+          Seq("purch_cnt_1h" -> (c => count(c)), "purch_max_1h" -> (c => max(c))))
+        .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+          col("purch_cnt_1h").cast("long").as("purch_cnt_1h"),
+          col6(col("purch_max_1h")).as("purch_max_1h"))
+    }),
     // identical semantics, third physical shape: right side collapses to
     // per-entity sorted arrays and broadcasts; the 100 TB left side never
     // shuffles; visibility via the codegen'd AsOfLessOrEqual expression
@@ -390,6 +406,26 @@ object WindowQueries {
     "q_asof_skew" -> asofSql,
     "q_asof_broadcast" -> asofSql,
     "q_asof_auto" -> asofSql,
+
+    "q_range_join" ->
+      s"""$cte,
+         |purch AS (
+         |  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id, ts, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |u AS (
+         |  SELECT conv_id, ts, 1 AS side, turn_idx, CAST(NULL AS DOUBLE) AS v FROM transcripts
+         |  UNION ALL
+         |  SELECT conv_id, ts, 0 AS side, NULL AS turn_idx, value AS v FROM purch),
+         |f AS (
+         |  SELECT conv_id, turn_idx, side,
+         |         COUNT(v) OVER w AS c, MAX(v) OVER w AS mx
+         |  FROM u
+         |  WINDOW w AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+         |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         |       CAST(c AS BIGINT) AS purch_cnt_1h,
+         |       FLOOR(CAST(mx AS DOUBLE) * 1000000 + 0.5) / 1000000 AS purch_max_1h
+         |FROM f WHERE side = 1""".stripMargin,
 
     "q_dict_roundtrip" ->
       s"""$cte

@@ -180,6 +180,45 @@ object AsOfJoin {
         valueCols.map(v => col("__filled").getField(v).as(v)): _*)
   }
 
+  /** Time-range aggregate join (the as-of family's interval sibling): for
+    * each left row, aggregate the right rows with the same entity and
+    * `ts in [left.ts - windowSeconds, left.ts]` — "purchases in the last
+    * hour", "tool calls in the last 5 minutes". Same union+window shape as
+    * [[asOf]]: tag both sides, ONE hash exchange on the entity, a RANGE
+    * frame over event-time micros, keep left rows — never a join node, so
+    * there is no pair blow-up when a left row matches many right rows
+    * (an interval equi-join would materialize every match).
+    *
+    * Equal-timestamp semantics: the range frame includes ALL rows at the
+    * boundary instants, so a right row AT exactly left.ts is visible —
+    * consistent with [[asOf]].
+    *
+    * @param aggs output-name -> aggregate over the right-side value column
+    *             (left rows carry null in that column, so count/min/max/sum
+    *             see right rows only)
+    */
+  def rangeAgg(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      valueCol: String,
+      windowSeconds: Long,
+      aggs: Seq[(String, Column => Column)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right.select(col(entity), col("ts"),
+      lit(0).as("__side"), col(valueCol).cast("double").as("__v"))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast("double"))
+    val w = Window.partitionBy(col(entity))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    aggs.foldLeft(r.unionByName(l, allowMissingColumns = true)) {
+        case (df, (name, agg)) => df.withColumn(name, agg(col("__v")).over(w))
+      }
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ aggs.map { case (n, _) => col(n) }: _*)
+  }
+
   /** Auto-planned as-of join: picks the physical shape from measured input
     * statistics, applying the measured routing rule (see [[asOfSkew]]'s
     * scaladoc and `graft.SkewBench`):

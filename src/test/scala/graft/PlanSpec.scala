@@ -216,6 +216,21 @@ class PlanSpec extends SparkSpec {
     assert(pc.contains("__bucket"), s"expected the skew-bucketed shape:\n$pc")
   }
 
+  test("rangeAgg is join-free: one union window, no pair materialization") {
+    import graft.windows.AsOfJoin
+    val left = Transcripts.fromEvents(Tables.events(spark, sf0001))
+      .select("conv_id", "turn_idx", "ts")
+    val right = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val p = plan(AsOfJoin.rangeAgg(left, right, "conv_id", "value", 3600L,
+      Seq("c1h" -> (c => count(c)))))
+    assert(!p.contains("Join"), s"range agg must not materialize pairs:\n$p")
+    val exchanges = countOccurrences(p, "Exchange hashpartitioning")
+    assert(exchanges <= 2, s"got $exchanges exchanges:\n$p")
+  }
+
   test("groupByThenSalted: fact rows never shuffle; aggregate broadcasts back") {
     val t = Transcripts.fromEvents(Tables.events(spark, sf0001))
     val out = graft.windows.WindowFeatures.groupByThenSalted(
