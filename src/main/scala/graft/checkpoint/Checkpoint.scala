@@ -35,7 +35,11 @@ object Checkpoint {
       scores: Map[String, Double],
       survivors: Seq[SurvivorRow],
       fit: FitStats,
-      profiles: Map[String, graft.profile.ColumnProfile])
+      profiles: Map[String, graft.profile.ColumnProfile],
+      /** CV-LR AUC channel of the two-stage oracle (empty when LR is off);
+        * persisted so a resumed search selects champions from the same
+        * LR-scored pool as the fresh run. */
+      lrAuc: Map[String, Double] = Map.empty)
 
   def layerDir(dir: String, layer: Int) = s"$dir/layer=$layer"
 
@@ -52,6 +56,9 @@ object Checkpoint {
       .write.mode(SaveMode.Overwrite).parquet(s"$d/fit.parquet")
     st.profiles.values.toSeq.toDS()
       .write.mode(SaveMode.Overwrite).parquet(s"$d/profiles.parquet")
+    if (st.lrAuc.nonEmpty)
+      st.lrAuc.toSeq.toDF("key", "auc")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/lrauc.parquet")
     // commit marker last
     Files.createDirectories(Paths.get(d))
     Files.writeString(Paths.get(s"$d/manifest.json"),
@@ -78,8 +85,15 @@ object Checkpoint {
       val profiles = spark.read.parquet(s"$d/profiles.parquet")
         .as[graft.profile.ColumnProfile].collect()
         .map(p => p.name -> p).toMap
+      val lrAuc =
+        if (Files.exists(Paths.get(s"$d/lrauc.parquet")))
+          spark.read.parquet(s"$d/lrauc.parquet")
+            .select(col("key"), col("auc")).collect()
+            .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        else Map.empty[String, Double]
       SearchState(l, seenScores.map(_._1).toSet, fps,
-        seenScores.collect { case (k, Some(s)) => k -> s }.toMap, survivors, fit, profiles)
+        seenScores.collect { case (k, Some(s)) => k -> s }.toMap, survivors, fit,
+        profiles, lrAuc)
     }
   }
 

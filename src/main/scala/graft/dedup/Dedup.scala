@@ -83,7 +83,8 @@ object Dedup {
       .join(groupTexts, Seq(id))
       .join(groupTexts.select(col(id).as("keep_id"), col(text).as("__kt")), Seq("keep_id"))
       .select(col(id).as(id),
-        when(col(text) === col("__kt"), lit(1))
+        // null-safe: two NULL texts are a legitimate exact-dup group
+        when(col(text) <=> col("__kt"), lit(1))
           .otherwise(raise_error(concat(
             lit("exact-dedup fingerprint collision at id="), col(id).cast("string"))))
           .cast("int").as("__verified"))

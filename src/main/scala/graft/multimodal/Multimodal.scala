@@ -198,8 +198,9 @@ object Multimodal {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val size = buf.getInt(pos + 4)
         // a hostile/corrupt size field must fail loudly, not loop forever
-        // or read past the buffer in the data pass
-        require(size >= 0 && pos + 8 + size <= bytes.length, s"bad chunk size $size at $pos")
+        // or read past the buffer in the data pass (Long arithmetic: an Int
+        // sum would wrap negative for size near Int.MaxValue and pass)
+        require(size >= 0 && pos + 8L + size <= bytes.length, s"bad chunk size $size at $pos")
         id match {
           case "fmt " =>
             require(buf.getShort(pos + 8) == 1, "not PCM")
@@ -239,7 +240,8 @@ object Multimodal {
         while (pos + 8 <= to) {
           val id = fourcc(pos)
           val size = buf.getInt(pos + 4)
-          require(size >= 0 && pos + 8 + size <= bytes.length, s"bad chunk size $size at $pos")
+          // Long arithmetic: an Int sum wraps negative near Int.MaxValue
+          require(size >= 0 && pos + 8L + size <= bytes.length, s"bad chunk size $size at $pos")
           if (id == "LIST") {
             require(size >= 4, "LIST without a type")
             walk(pos + 12, pos + 8 + size) // skip the 4-byte list type

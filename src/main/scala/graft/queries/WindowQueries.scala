@@ -160,62 +160,30 @@ object WindowQueries {
     // MemoryStream (state carries across the batch boundary), checked
     // against the batch window-function oracle — streaming == batch,
     // row-for-row, in SQL.
-    "q_streaming" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      def micros(t: java.sql.Timestamp): Long =
-        (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-      val turns = T(s, dir).as[graft.transcripts.Turn].collect()
-        .sortBy(t => (micros(t.ts), t.turn_idx))
-      val (first, second) = turns.splitAt(turns.length / 2)
-      val stream =
-        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
-      val qn = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = graft.streaming.StreamingFeatures.runningFeatures(stream.toDS())
-        .writeStream.format("memory").queryName(qn).outputMode("append").start()
-      stream.addData(first.toIndexedSeq)
-      q.processAllAvailable()
-      stream.addData(second.toIndexedSeq)
-      q.processAllAvailable()
-      q.stop() // memory sink keeps its rows; the temp view stays readable
-      s.table(qn).select(
-        col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-        col6(col("gap_secs")).as("gap_secs"),
-        col("turns_so_far"),
-        col6(col("run_mean_len")).as("run_mean_len"),
-        col("last_tool"),
-        col("session_id").cast("long").as("session_id"))
-    }),
+    "q_streaming" -> ((s, dir) =>
+      twoBatchStream(s, dir, "append")(ds =>
+        graft.streaming.StreamingFeatures.runningFeatures(ds).toDF())
+        .select(
+          col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+          col6(col("gap_secs")).as("gap_secs"),
+          col("turns_so_far"),
+          col6(col("run_mean_len")).as("run_mean_len"),
+          col("last_tool"),
+          col("session_id").cast("long").as("session_id"))),
 
     "q_stream_session" -> ((s, dir) => streamSessionResult(s, dir)),
 
     // Watermarked tumbling windows over the same 2-batch stream (complete
     // mode): counts/char-sums per (conv, 10-minute window) == the batch
     // epoch-floor groupBy in SQL
-    "q_stream_tumbling" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      def micros(t: java.sql.Timestamp): Long =
-        (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-      val turns = T(s, dir).as[graft.transcripts.Turn].collect()
-        .sortBy(t => (micros(t.ts), t.turn_idx))
-      val (first, second) = turns.splitAt(turns.length / 2)
-      val stream =
-        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
-      val qn = "graft_tumb_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = graft.streaming.StreamingFeatures.tumblingAggregates(stream.toDF())
-        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
-      stream.addData(first.toIndexedSeq)
-      q.processAllAvailable()
-      stream.addData(second.toIndexedSeq)
-      q.processAllAvailable()
-      q.stop()
-      s.table(qn).select(
-        col("conv_id"),
-        unix_micros(col("window_start")).as("window_start_us"),
-        col("turns").cast("long").as("turns"),
-        col("chars").cast("long").as("chars"))
-    }),
+    "q_stream_tumbling" -> ((s, dir) =>
+      twoBatchStream(s, dir, "complete")(ds =>
+        graft.streaming.StreamingFeatures.tumblingAggregates(ds.toDF()))
+        .select(
+          col("conv_id"),
+          unix_micros(col("window_start")).as("window_start_us"),
+          col("turns").cast("long").as("turns"),
+          col("chars").cast("long").as("chars"))),
 
     // Dictionary encode -> window over the ENCODED ints -> decode: output
     // must equal computing the same backfill over the raw strings (the
@@ -237,6 +205,35 @@ object WindowQueries {
     })
   )
 
+  /** Full microsecond precision — Timestamp.getTime truncates to millis. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Shared streaming-gate harness: drive `transform` over a 2-micro-batch
+    * MemoryStream of the transcripts (state/aggregations must carry across
+    * the batch boundary) into a memory sink; returns the sink's rows. The
+    * memory table stays readable after stop().
+    */
+  private def twoBatchStream(s: SparkSession, dir: String, mode: String)(
+      transform: org.apache.spark.sql.Dataset[graft.transcripts.Turn] => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val turns = T(s, dir).as[graft.transcripts.Turn].collect()
+      .sortBy(t => (tsMicros(t.ts), t.turn_idx))
+    val (first, second) = turns.splitAt(turns.length / 2)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
+    val qn = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = transform(stream.toDS())
+      .writeStream.format("memory").queryName(qn).outputMode(mode).start()
+    stream.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn)
+  }
+
   /** Built-in `session_window` under the DuckDB gate: per-(conv, session)
     * aggregates computed by the streaming session-window operator over a
     * 2-micro-batch MemoryStream (complete mode — sessions merge across the
@@ -244,31 +241,15 @@ object WindowQueries {
     * session_window merge rule is STRICT overlap (a new session starts when
     * the gap is >= the window gap), which the oracle mirrors.
     */
-  private def streamSessionResult(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
-    val turns = T(s, dir).as[graft.transcripts.Turn].collect()
-      .sortBy(t => (micros(t.ts), t.turn_idx))
-    val (first, second) = turns.splitAt(turns.length / 2)
-    val stream =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
-    val qn = "graft_sess_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = graft.streaming.StreamingFeatures.sessionAggregates(stream.toDF(), gap = "30 minutes")
-      .writeStream.format("memory").queryName(qn).outputMode("complete").start()
-    stream.addData(first.toIndexedSeq)
-    q.processAllAvailable()
-    stream.addData(second.toIndexedSeq)
-    q.processAllAvailable()
-    q.stop()
-    s.table(qn).select(
-      col("conv_id"),
-      unix_micros(col("window_start")).as("window_start_us"),
-      col("session_turns").cast("long").as("session_turns"),
-      col("session_chars").cast("long").as("session_chars"),
-      unix_micros(col("session_end")).as("session_end_us"))
-  }
+  private def streamSessionResult(s: SparkSession, dir: String): DataFrame =
+    twoBatchStream(s, dir, "complete")(ds =>
+      graft.streaming.StreamingFeatures.sessionAggregates(ds.toDF(), gap = "30 minutes"))
+      .select(
+        col("conv_id"),
+        unix_micros(col("window_start")).as("window_start_us"),
+        col("session_turns").cast("long").as("session_turns"),
+        col("session_chars").cast("long").as("session_chars"),
+        unix_micros(col("session_end")).as("session_end_us"))
 
   private object Variant extends Enumeration { val Shuffle, Skew, Broadcast, Auto = Value }
 

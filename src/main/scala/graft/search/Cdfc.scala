@@ -82,7 +82,13 @@ final case class CdfcResult(
     best: Scored,
     survivors: Seq[Scored],
     layers: Seq[LayerLog],
-    fit: FitStats)
+    fit: FitStats,
+    /** CV-LR AUC per canonical key for every candidate the two-stage oracle
+      * LR-scored (empty when lrTopK == 0). Downstream selection (champion
+      * tables, AICc) reads THIS channel for LR-scored candidates so AUC and
+      * MI values are never compared against each other.
+      */
+    lrAuc: Map[String, Double] = Map.empty)
 
 final class Cdfc(
     df: DataFrame,
@@ -282,7 +288,7 @@ final class Cdfc(
     def commitLayer(layer: Int, newRows: Seq[Scored], t0: Long): Unit =
       checkpointDir.foreach { d =>
         Checkpoint.save(spark, d, SearchState(layer, seen.toSet, fingerprints.toSet,
-          scores.toMap, survivors.map(toRow).toSeq, fit, profiles.toMap))
+          scores.toMap, survivors.map(toRow).toSeq, fit, profiles.toMap, lrScores.toMap))
         Checkpoint.appendAudit(spark, d, newRows.map(toRow),
           (System.nanoTime() - t0) / 1000000L)
         Checkpoint.appendLineage(d, layer, df)
@@ -290,7 +296,7 @@ final class Cdfc(
     val restored = checkpointDir.flatMap(d => Checkpoint.load(spark, d, cfg.cMax))
     restored.foreach { st =>
       seen ++= st.seen; fingerprints ++= st.fingerprints; scores ++= st.scores
-      fit = st.fit; profiles ++= st.profiles
+      fit = st.fit; profiles ++= st.profiles; lrScores ++= st.lrAuc
       st.survivors.foreach { r =>
         val e = FeatureExprParser.parse(r.expr)
         survivors += Scored(e, r.expr, r.complexity, r.score, r.passed, r.inherited)
@@ -316,13 +322,24 @@ final class Cdfc(
     def harmonicMean(a: Double, b: Double): Double =
       if (a + b == 0) 0.0 else 2 * a * b / (a + b)
 
+    // champion channel: with the LR stage on, the champion is the best
+    // LR-SCORED candidate by AUC (the LR set = each layer's top-K + their
+    // gain parents) — an AUC is never compared against an MI value, which
+    // would let a non-rescored or inherited candidate win on the wrong
+    // scale. Without LR, it is the best MI survivor as before.
+    def champion: Option[Scored] =
+      if (cfg.lrTopK > 0)
+        survivors.flatMap(s => lrScores.get(s.key).map(a => s.copy(score = a)))
+          .maxByOption(s => (s.score, s.key))
+      else survivors.maxByOption(_.score)
+
     // ---- layer loop --------------------------------------------------
     if (restored.isEmpty) {
       val t0 = System.nanoTime()
       evaluate(layer1, 1)
       commitLayer(1, survivors.toSeq, t0)
     }
-    var best = survivors.maxByOption(_.score)
+    var best = champion
     var nonImproving = 0
     // champion (global best) snapshot after each layer, for harmonic stop
     val bestAfterLayer = collection.mutable.HashMap[Int, Scored]()
@@ -360,7 +377,7 @@ final class Cdfc(
       evaluate(fresh, layer)
       layerLog += LayerLog(layer, enumerated.size, survivors.size - survivedBefore, dropped)
       commitLayer(layer, survivors.drop(survivedBefore).toSeq, t0)
-      val newBest = survivors.maxByOption(_.score)
+      val newBest = champion
       if (newBest.map(_.score) == best.map(_.score)) nonImproving += 1
       else { nonImproving = 0; best = newBest }
       newBest.foreach(b => bestAfterLayer(layer) = b)
@@ -379,7 +396,7 @@ final class Cdfc(
     }
 
     val b = best.getOrElse(throw new IllegalStateException("no candidate survived"))
-    CdfcResult(b, survivors.toSeq, layerLog.toSeq, fit)
+    CdfcResult(b, survivors.toSeq, layerLog.toSeq, fit, lrScores.toMap)
   }
 }
 

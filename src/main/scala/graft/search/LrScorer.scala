@@ -131,9 +131,9 @@ object LrScorer {
       saltSeed: Int = 42,
       complexity: Int = 0): LrScore = {
     val df = dfIn
-      // fold hash over the FULL input row (feature-only hashes collapse
-      // low-cardinality features into single folds)
-      .withColumn("fold", pmod(xxhash64(struct(dfIn.columns.map(col): _*), lit(saltSeed)), lit(folds)).cast("int"))
+      // fold hash over the FULL input row ([[foldCol]] — feature-only
+      // hashes collapse low-cardinality features into single folds)
+      .withColumn("fold", foldCol(saltSeed, folds))
       .select((featureCols.map(c => col(c).cast("double").as(c)) :+
         col(labelCol).cast("double").as("label") :+ col("fold")): _*)
       .na.drop()
@@ -204,9 +204,16 @@ object LrScorer {
       labelCol: String,
       folds: Int = 5,
       grid: Seq[Double] = Seq(1.0)): (Scored, Seq[(Scored, Double)]) = {
+    // per-complexity champion: when the search ran its LR stage, pick by
+    // the AUC channel among LR-scored members (never compare an AUC against
+    // an MI value); classes the LR stage did not touch fall back to MI
     val champions = result.survivors.filter(_.passed)
       .groupBy(_.complexity).toSeq.sortBy(_._1)
-      .map { case (_, ss) => ss.maxBy(_.score) }
+      .map { case (_, ss) =>
+        val lrScored = ss.filter(s => result.lrAuc.contains(s.key))
+        if (lrScored.nonEmpty) lrScored.maxBy(s => (result.lrAuc(s.key), s.key))
+        else ss.maxBy(_.score)
+      }
     val scored = FitPool.map(df.sparkSession, "lr-aicc", champions)(ch =>
       ch -> aiccOf(df, ch, result.fit, labelCol, folds, grid))
     (scored.minBy(_._2)._1, scored)

@@ -254,7 +254,8 @@ object AsOfJoin {
       val (total, maxKey) = maxEntityRowsHint.getOrElse {
         val r = left.groupBy(col(entity)).agg(count(lit(1)).as("__n"))
           .agg(sum(col("__n")), max(col("__n"))).head()
-        (r.getLong(0), r.getLong(1))
+        // empty left: aggregates are NULL; any route returns empty rows
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
       }
       val par = math.max(left.sparkSession.sparkContext.defaultParallelism, 1).toLong
       if (maxKey > total / par)
