@@ -193,6 +193,13 @@ object AsOfJoin {
     * boundary instants, so a right row AT exactly left.ts is visible —
     * consistent with [[asOf]].
     *
+    * Skew: like any per-entity window, a hot entity serializes into one
+    * task. The [[asOfSkew]] time-bucket idea applies with one change: the
+    * carry-in is not a single last value but the right rows within
+    * `windowSeconds` of each bucket's start — replicate that Δ-wide fringe
+    * into the next bucket and the per-bucket range frames are exact. Route
+    * by the same key-histogram rule (hottest key > rows / parallelism).
+    *
     * @param aggs output-name -> aggregate over the right-side value column
     *             (left rows carry null in that column, so count/min/max/sum
     *             see right rows only)
