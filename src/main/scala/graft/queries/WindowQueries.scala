@@ -137,18 +137,10 @@ object WindowQueries {
     // time-range aggregate join: purchases in the trailing hour per turn
     // (count/max only — exact under any accumulation order, so the oracle
     // comparison is bit-stable; a float SUM would be order-sensitive)
-    "q_range_join" -> ((s, dir) => {
-      val left = T(s, dir)
-      val right = Tables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
-          col("ts").cast("timestamp").as("ts"), col("value"))
-      AsOfJoin.rangeAgg(left, right, "conv_id", "value", 3600L,
-          Seq("purch_cnt_1h" -> (c => count(c)), "purch_max_1h" -> (c => max(c))))
-        .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
-          col("purch_cnt_1h").cast("long").as("purch_cnt_1h"),
-          col6(col("purch_max_1h")).as("purch_max_1h"))
-    }),
+    "q_range_join" -> ((s, dir) => rangeResult(s, dir, skew = false)),
+    // skew-resistant shape (time buckets + Δ-fringe replication): same
+    // semantics, same oracle — the hot key fans out over bucket tasks
+    "q_range_skew" -> ((s, dir) => rangeResult(s, dir, skew = true)),
     // identical semantics, third physical shape: right side collapses to
     // per-entity sorted arrays and broadcasts; the 100 TB left side never
     // shuffles; visibility via the codegen'd AsOfLessOrEqual expression
@@ -250,6 +242,22 @@ object WindowQueries {
         col("session_turns").cast("long").as("session_turns"),
         col("session_chars").cast("long").as("session_chars"),
         unix_micros(col("session_end")).as("session_end_us"))
+
+  private def rangeResult(s: SparkSession, dir: String, skew: Boolean): DataFrame = {
+    val left = T(s, dir)
+    val right = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val aggs = Seq("purch_cnt_1h" -> ((c: org.apache.spark.sql.Column) => count(c)),
+      "purch_max_1h" -> ((c: org.apache.spark.sql.Column) => max(c)))
+    val joined =
+      if (skew) AsOfJoin.rangeAggSkew(left, right, "conv_id", "value", 3600L, aggs, numBuckets = 16)
+      else AsOfJoin.rangeAgg(left, right, "conv_id", "value", 3600L, aggs)
+    joined.select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+      col("purch_cnt_1h").cast("long").as("purch_cnt_1h"),
+      col6(col("purch_max_1h")).as("purch_max_1h"))
+  }
 
   private object Variant extends Enumeration { val Shuffle, Skew, Broadcast, Auto = Value }
 
@@ -388,7 +396,14 @@ object WindowQueries {
     "q_asof_broadcast" -> asofSql,
     "q_asof_auto" -> asofSql,
 
-    "q_range_join" ->
+    "q_range_skew" -> rangeSql,
+    "q_range_join" -> rangeSql
+  ) ++ moreOracles
+
+  /** Shared by q_range_join / q_range_skew: both physical shapes must
+    * reproduce the same trailing-range SQL.
+    */
+  private lazy val rangeSql: String =
       s"""$cte,
          |purch AS (
          |  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id, ts, value
@@ -406,8 +421,9 @@ object WindowQueries {
          |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
          |       CAST(c AS BIGINT) AS purch_cnt_1h,
          |       FLOOR(CAST(mx AS DOUBLE) * 1000000 + 0.5) / 1000000 AS purch_max_1h
-         |FROM f WHERE side = 1""".stripMargin,
+         |FROM f WHERE side = 1""".stripMargin
 
+  private lazy val moreOracles: Map[String, String] = Map(
     "q_dict_roundtrip" ->
       s"""$cte
          |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,

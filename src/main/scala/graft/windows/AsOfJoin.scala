@@ -194,11 +194,9 @@ object AsOfJoin {
     * consistent with [[asOf]].
     *
     * Skew: like any per-entity window, a hot entity serializes into one
-    * task. The [[asOfSkew]] time-bucket idea applies with one change: the
-    * carry-in is not a single last value but the right rows within
-    * `windowSeconds` of each bucket's start — replicate that Δ-wide fringe
-    * into the next bucket and the per-bucket range frames are exact. Route
-    * by the same key-histogram rule (hottest key > rows / parallelism).
+    * task — [[rangeAggSkew]] is the time-bucketed variant for that case.
+    * Route by the same key-histogram rule (hottest key > rows /
+    * parallelism).
     *
     * @param aggs output-name -> aggregate over the right-side value column
     *             (left rows carry null in that column, so count/min/max/sum
@@ -219,6 +217,56 @@ object AsOfJoin {
     val w = Window.partitionBy(col(entity))
       .orderBy(unix_micros(col("ts")))
       .rangeBetween(-windowSeconds * 1000000L, 0L)
+    aggs.foldLeft(r.unionByName(l, allowMissingColumns = true)) {
+        case (df, (name, agg)) => df.withColumn(name, agg(col("__v")).over(w))
+      }
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ aggs.map { case (n, _) => col(n) }: _*)
+  }
+
+  /** Skew-resistant [[rangeAgg]]: event-time buckets + Δ-FRINGE REPLICATION.
+    *
+    * The plain range aggregate windows over `(entity)`, so one hot entity
+    * is one task. Here time is cut into `numBuckets` ranges and the window
+    * partitions by `(entity, bucket)` — the hot key fans out — with
+    * exactness restored by replication instead of a carry-in: a right row
+    * at time s influences trailing frames up to `s + windowSeconds`, so it
+    * is emitted into EVERY bucket its influence horizon touches
+    * (`bucket(s) .. bucket(s + Δ)` — one `explode(sequence)` per right
+    * row, replication factor 1 + ceil(Δ / bucketWidth), small whenever the
+    * job's time span dwarfs the window, which is what makes the input big
+    * in the first place). Each left row then finds all its in-range right
+    * rows inside its own partition. Results identical to [[rangeAgg]]
+    * (spec-asserted checksum equality).
+    */
+  def rangeAggSkew(
+      left: DataFrame,
+      right: DataFrame,
+      entity: String,
+      valueCol: String,
+      windowSeconds: Long,
+      aggs: Seq[(String, Column => Column)],
+      numBuckets: Int = 32): DataFrame = {
+    val deltaUs = windowSeconds * 1000000L
+    val Array(lo, hi) = left.select(unix_micros(col("ts")).as("t"))
+      .unionByName(right.select(unix_micros(col("ts")).as("t")))
+      .agg(min("t"), max("t")).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val width = math.max(1L, (hi - lo) / numBuckets + 1)
+    def bucketOfUs(us: Column): Column =
+      least(greatest((us - lo) / width, lit(0L)), lit(numBuckets - 1L)).cast("int")
+
+    val leftCols = left.columns.toSeq
+    val r = right.select(col(entity), col("ts"),
+        lit(0).as("__side"), col(valueCol).cast("double").as("__v"))
+      .withColumn("__bucket", explode(sequence(
+        bucketOfUs(unix_micros(col("ts"))),
+        bucketOfUs(unix_micros(col("ts")) + deltaUs))))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__bucket", bucketOfUs(unix_micros(col("ts"))))
+    val w = Window.partitionBy(col(entity), col("__bucket"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-deltaUs, 0L)
     aggs.foldLeft(r.unionByName(l, allowMissingColumns = true)) {
         case (df, (name, agg)) => df.withColumn(name, agg(col("__v")).over(w))
       }

@@ -54,4 +54,26 @@ class AsOfJoinSpec extends SparkSpec {
     val skew = canon(AsOfJoin.asOfSkew(l, r, "conv_id", Seq("pval"), col("event_id"), 8))
     assert(plain.nonEmpty && plain == skew)
   }
+
+  test("rangeAggSkew == rangeAgg across bucket counts, incl. delta > bucket width") {
+    val l = Transcripts.fromEvents(Tables.events(spark, sf0001))
+    val r = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(concat(lit("c"), col("user_id").cast("string")).as("conv_id"),
+        col("ts").cast("timestamp").as("ts"), col("value"))
+    val aggs = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "c1h" -> (c => count(c)), "mx1h" -> (c => max(c)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("conv_id"), col("turn_idx"), col("c1h"), col("mx1h"))
+        .as[(String, Int, Long, Option[Double])]
+        .collect().sortBy(x => (x._1, x._2)).toSeq
+    val plain = canon(AsOfJoin.rangeAgg(l, r, "conv_id", "value", 3600L, aggs))
+    assert(plain.nonEmpty && plain.exists(_._3 > 0))
+    // 256 buckets over ~a few days of events makes bucketWidth < 1h, so the
+    // fringe replication spans MULTIPLE buckets — the exactness-critical case
+    for (b <- Seq(4, 32, 256)) {
+      val skew = canon(AsOfJoin.rangeAggSkew(l, r, "conv_id", "value", 3600L, aggs, b))
+      assert(skew == plain, s"buckets=$b")
+    }
+  }
 }
