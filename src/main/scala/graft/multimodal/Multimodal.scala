@@ -231,6 +231,11 @@ object Multimodal {
         new String(bytes, 8, 4, "US-ASCII") == "AVI ", "not an AVI")
       var w = -1; var h = -1; var totalFrames = -1
       var counted = 0; var pixSum = 0L; var pixN = 0L
+      // the pixel walk below assumes uncompressed 24bpp rows: that must be
+      // PROVEN from the video stream's strf BITMAPINFOHEADER, not assumed —
+      // a 'DIB ' AVI with 32bpp or RLE frames would otherwise pass the size
+      // require and silently produce a wrong mean
+      var nextStrfIsVideo = false; var videoStrfOk = false
 
       def fourcc(at: Int) = new String(bytes, at, 4, "US-ASCII")
 
@@ -250,8 +255,21 @@ object Multimodal {
             totalFrames = buf.getInt(pos + 8 + 16)
             w = buf.getInt(pos + 8 + 32)
             h = buf.getInt(pos + 8 + 36)
+          } else if (id == "strh") {
+            require(size >= 4, "short strh")
+            nextStrfIsVideo = fourcc(pos + 8) == "vids"
+          } else if (id == "strf" && nextStrfIsVideo) {
+            nextStrfIsVideo = false
+            require(size >= 40, "short video strf")
+            val bitCount = buf.getShort(pos + 8 + 14)
+            val compression = buf.getInt(pos + 8 + 16)
+            require(compression == 0 && bitCount == 24,
+              s"unsupported video format: biCompression=$compression biBitCount=$bitCount " +
+                "(only uncompressed 24bpp RGB is decodable)")
+            videoStrfOk = true
           } else if (id == "00db" || id == "00dc") {
             require(w > 0 && h != 0, "frame chunk before avih")
+            require(videoStrfOk, "frame chunk before a validated video strf")
             val rows = math.abs(h)
             val stride = (w * 3 + 3) / 4 * 4
             require(size >= stride * rows, "truncated frame")

@@ -18,9 +18,13 @@ import java.util.concurrent.Executors
   * fair-shared against each other, so no fit starves behind another —
   * `spark.scheduler.mode=FAIR` is set by the entry points).
   *
-  * Determinism: results are collected in TASK order, not completion order,
-  * and each fit is a pure function of its cached input — concurrency
-  * changes wall-clock only, never values.
+  * Determinism: results are collected in TASK order, not completion order —
+  * concurrency never changes which task's result lands where. It does NOT
+  * make fit floats bit-stable: spark.ml's lbfgs reduces treeAggregate
+  * partials in task-COMPLETION order (true of a sequential loop too), so an
+  * AUC can read 1.0 on one run and 1-ulp on the next. Consumers must round
+  * or epsilon-compare fit outputs before any tie-sensitive decision (see
+  * [[LrScorer]]'s rounded grid selection).
   *
   * The pool is an unbounded daemon cached-thread pool: tasks block on Spark
   * job results, so a bounded pool would deadlock under nested use (e.g.

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * Parallelism: the folds-by-grid fits have no data dependency, so they are
   * submitted CONCURRENTLY from driver threads ([[FitPool]]) — the
   * reference's `n_jobs` model-fit parallelism knob. Results are combined in
-  * task order, so values are byte-identical to the sequential loop.
+  * task order, so WHICH fits feed each grid point is deterministic; the fit
+  * floats themselves can wobble by ULPs run-to-run (lbfgs reduces its
+  * treeAggregate partials in task-completion order, sequential or not), so
+  * every decision over fit outputs is made on ROUNDED values (grid pick at
+  * 1e-9 AUC / 1e-6 rss) and never on exact float equality.
   */
 object LrScorer {
 
@@ -66,31 +70,48 @@ object LrScorer {
   /** One (grid value, fold) fit + its out-of-fold metric aggregates: the
     * model fit, the AUC sweep, ONE metric aggregation over the predictions,
     * and ONE consistency aggregation over the fold's feature tuples.
+    *
+    * @param trainLabels distinct label values present in the TRAINING fold
+    *                    (precomputed once per score() from the (fold, label)
+    *                    histogram — spark.ml's `numClasses = maxLabel + 1`
+    *                    inference reports 2 classes for an all-ones fold, so
+    *                    it cannot detect degeneracy, and an EMPTY training
+    *                    fold has no model at all)
+    * @param testRows    row count of the test fold (0 -> no predictions to
+    *                    aggregate; the metric aggs would return nulls)
     */
   private def fitFold(
       df: DataFrame,
       assembler: VectorAssembler,
       featureCols: Seq[String],
       reg: Double,
-      f: Int): FoldStats = {
-    val train = assembler.transform(df.filter(col("fold") =!= f))
+      f: Int,
+      trainLabels: Seq[Double],
+      testRows: Long): FoldStats = {
+    if (testRows == 0)
+      // no out-of-fold rows: nothing to score. Vacuous conventions — zero
+      // residual mass (rss 0, n 0), accuracy/consistency 1 (no row is
+      // wrong/inconsistent), f1 0 (no positives retrieved), coin AUC.
+      return FoldStats(0.5, 0.0, 0L, 1.0, 0.0, 1.0)
     val test = assembler.transform(df.filter(col("fold") === f))
-    val model = new LogisticRegression()
-      .setRegParam(reg).setMaxIter(50).setTol(1e-6)
-      .fit(train)
-    val pred = model.transform(test)
-    // a single-class training fold yields a 1-class model (probability
-    // vector of length 1, which the AUC evaluator rejects): score it as the
-    // constant predictor it is — p(1) is 1 or 0, AUC is the 0.5 coin
-    val singleClass = model.numClasses < 2
-    val p1: Column =
-      if (!singleClass) vectorElement(col("probability"), 1)
-      else lit(train.select(col("label")).head().getDouble(0))
-    val auc =
-      if (singleClass) 0.5
-      else new BinaryClassificationEvaluator()
-        .setRawPredictionCol("probability").setMetricName("areaUnderROC")
-        .evaluate(pred)
+    // an empty or single-class training fold admits no separating model:
+    // score the constant predictor it implies — p(1) = the lone label (or
+    // the 0.5 coin when there is no training row at all), AUC = 0.5
+    val degenerate = trainLabels.size < 2
+    val (p1: Column, pred: DataFrame, auc: Double) =
+      if (degenerate) {
+        (lit(trainLabels.headOption.getOrElse(0.5)), test, 0.5)
+      } else {
+        val train = assembler.transform(df.filter(col("fold") =!= f))
+        val model = new LogisticRegression()
+          .setRegParam(reg).setMaxIter(50).setTol(1e-6)
+          .fit(train)
+        val pred = model.transform(test)
+        val auc = new BinaryClassificationEvaluator()
+          .setRawPredictionCol("probability").setMetricName("areaUnderROC")
+          .evaluate(pred)
+        (vectorElement(col("probability"), 1), pred, auc)
+      }
     val hard = (p1 > 0.5).cast("double")
     val m = pred
       .select(p1.as("p"), col("label"), hard.as("yh"))
@@ -140,11 +161,21 @@ object LrScorer {
       .cache()
     try {
       df.count() // materialize the cache once, before the concurrent fits race to build it
+      // one small job classifying every fold: per-(fold, label) counts give
+      // each TRAINING fold's distinct labels (degenerate-fold detection that
+      // spark.ml's maxLabel+1 numClasses inference cannot do) and each test
+      // fold's row count (guards the empty-fold metric aggregation)
+      val foldLabel = df.groupBy(col("fold"), col("label")).count().collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      val trainLabels: Map[Int, Seq[Double]] = (0 until folds).map(f =>
+        f -> foldLabel.iterator.filter(_._1 != f).map(_._2).toSeq.distinct.sorted).toMap
+      val testRows: Map[Int, Long] = (0 until folds).map(f =>
+        f -> foldLabel.iterator.filter(_._1 == f).map(_._3).sum).toMap
       val assembler = new VectorAssembler()
         .setInputCols(featureCols.toArray).setOutputCol("features")
       val tasks = for (reg <- grid; f <- 0 until folds) yield (reg, f)
       val stats = FitPool.map(df.sparkSession, "lr-cv", tasks) { case (reg, f) =>
-        fitFold(df, assembler, featureCols, reg, f)
+        fitFold(df, assembler, featureCols, reg, f, trainLabels(f), testRows(f))
       }
       val perGrid = grid.indices.map(gi => stats.slice(gi * folds, (gi + 1) * folds))
       // primary: best mean CV AUC (the reference's criterion). Tie-break:
@@ -152,8 +183,14 @@ object LrScorer {
       // at AUC 1.0, and the reference's first-in-grid-order pick would keep
       // the most-regularized (worst-calibrated) model, making the rss the
       // information criteria feed on degenerate; preferring the calibrated
-      // model among AUC-equals is the deterministic, semantics-preserving fix
-      val best = perGrid.maxBy(per => (per.map(_.auc).sum / folds, -per.map(_.rss).sum))
+      // model among AUC-equals is the deterministic, semantics-preserving fix.
+      // BOTH channels are rounded before comparison: lbfgs reduces its
+      // treeAggregate partials in task-completion order, so a fit's floats
+      // wobble by ULPs run-to-run (1.0 vs 1-ulp AUC on separable data) and
+      // an exact-equality tie test would flip the winner nondeterministically
+      val best = perGrid.maxBy(per => (
+        math.rint(per.map(_.auc).sum / folds * 1e9),
+        -math.rint(per.map(_.rss).sum * 1e6)))
 
       def mean(g: FoldStats => Double): Double = best.map(g).sum / folds
       val kF = featureCols.size.toDouble

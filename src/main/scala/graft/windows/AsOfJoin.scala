@@ -137,9 +137,14 @@ object AsOfJoin {
       rightSeq: Column,
       numBuckets: Int = 32): DataFrame = {
     // Bucket boundaries from the union time domain (one tiny agg job).
-    val Array(lo, hi) = left.select(unix_micros(col("ts")).as("t"))
+    // Zero rows -> NULL min/max: no time domain to bucket, so route to the
+    // plain shape (whose result is empty/trivial) instead of unboxing nulls.
+    val domain = left.select(unix_micros(col("ts")).as("t"))
       .unionByName(right.select(unix_micros(col("ts")).as("t")))
-      .agg(min("t"), max("t")).head().toSeq.map(_.asInstanceOf[Long]).toArray
+      .agg(min("t"), max("t")).head()
+    if (domain.isNullAt(0))
+      return asOf(left, right, entity, valueCols, rightSeq)
+    val (lo, hi) = (domain.getLong(0), domain.getLong(1))
     val width = math.max(1L, (hi - lo) / numBuckets + 1)
     def bucketOf(ts: Column): Column = ((unix_micros(ts) - lo) / width).cast("int")
 
@@ -248,9 +253,14 @@ object AsOfJoin {
       aggs: Seq[(String, Column => Column)],
       numBuckets: Int = 32): DataFrame = {
     val deltaUs = windowSeconds * 1000000L
-    val Array(lo, hi) = left.select(unix_micros(col("ts")).as("t"))
+    // empty union time domain -> NULL min/max: short-circuit to the plain
+    // range aggregate (empty/trivial result) instead of unboxing nulls
+    val domain = left.select(unix_micros(col("ts")).as("t"))
       .unionByName(right.select(unix_micros(col("ts")).as("t")))
-      .agg(min("t"), max("t")).head().toSeq.map(_.asInstanceOf[Long]).toArray
+      .agg(min("t"), max("t")).head()
+    if (domain.isNullAt(0))
+      return rangeAgg(left, right, entity, valueCol, windowSeconds, aggs)
+    val (lo, hi) = (domain.getLong(0), domain.getLong(1))
     val width = math.max(1L, (hi - lo) / numBuckets + 1)
     def bucketOfUs(us: Column): Column =
       least(greatest((us - lo) / width, lit(0L)), lit(numBuckets - 1L)).cast("int")

@@ -74,6 +74,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("non-24bpp or compressed video strf is rejected, never summed as RGB24") {
+    val avi = Multimodal.MediaSynth.avi(seed)
+    val strf = avi.sliding(4).indexWhere(_.sameElements("strf".getBytes("US-ASCII")))
+    assert(strf > 0)
+    // 32bpp: frame size require would still pass (stride >= w*3), but every
+    // pixel walk would be misaligned — must be refused up front
+    val bpp32 = avi.clone()
+    java.nio.ByteBuffer.wrap(bpp32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(strf + 8 + 14, 32) // biBitCount
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.MediaDecoder.decode("video", bpp32)
+    }
+    assert(e1.getMessage.contains("biBitCount=32"))
+    // BI_RLE8-compressed frames are not raw rows at all
+    val rle = avi.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(strf + 8 + 16, 1) // biCompression = BI_RLE8
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.MediaDecoder.decode("video", rle)
+    }
+    assert(e2.getMessage.contains("biCompression=1"))
+  }
+
   test("distributed attach+decode recovers text statistics end-to-end") {
     import spark.implicits._
     val docs = Seq((0L, "spark window merge"), (1L, "hash join batch"),

@@ -63,6 +63,35 @@ class LrScorerSpec extends SparkSpec {
     assert(!s.aicFeat.isNaN && !s.bicComp.isNaN)
   }
 
+  test("degenerate folds: single-class label scores as the constant predictor") {
+    // every training fold of an all-ones label is single-class; spark.ml's
+    // numClasses inference (maxLabel+1 = 2) cannot see that — the scorer
+    // must detect it from the fold-label histogram and skip the fit
+    val df = planted.withColumn("prod", col("x1") * col("x2"))
+      .withColumn("y1", lit(1).cast("int"))
+    val s = LrScorer.score(df, Seq("prod"), "y1", folds = 3)
+    assert(s.auc == 0.5, s"auc=${s.auc}")      // constant predictor = coin
+    assert(s.rss == 0.0 && s.accuracy == 1.0)  // p = 1.0 on all-ones labels
+    assert(s.n > 0)
+  }
+
+  test("empty input scores vacuously instead of throwing") {
+    val df = planted.withColumn("prod", col("x1") * col("x2")).filter(lit(false))
+    val s = LrScorer.score(df, Seq("prod"), "y", folds = 3)
+    assert(s.auc == 0.5 && s.n == 0L && s.rss == 0.0)
+  }
+
+  test("grid pick is stable across repeated runs (rounded AUC/rss channels)") {
+    // separable candidate: every grid point ties at AUC ~1.0 up to ULP noise
+    // from task-completion-ordered treeAggregate reduction; the rounded
+    // compare must return the same (lowest-rss) grid point every run
+    val df = planted.withColumn("prod", col("x1") * col("x2"))
+    val runs = (1 to 3).map(_ =>
+      LrScorer.score(df, Seq("prod"), "y", folds = 3, grid = Seq(1.0, 0.01)))
+    assert(runs.map(s => math.rint(s.rss * 1e6)).distinct.size == 1,
+      s"rss flickered across identical runs: ${runs.map(_.rss)}")
+  }
+
   test("concurrent fits: folds-x-grid jobs overlap in distinct FAIR pools") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
     val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -76,4 +76,16 @@ class AsOfJoinSpec extends SparkSpec {
       assert(skew == plain, s"buckets=$b")
     }
   }
+
+  test("skew variants return empty on an empty time domain instead of NPEing") {
+    // min/max over zero rows is NULL; the bucket math must short-circuit
+    val l = left().filter(lit(false))
+    val r = right().filter(lit(false))
+    assert(AsOfJoin.asOfSkew(l, r, "conv_id", Seq("pval"), col("seq")).count() == 0L)
+    val aggs = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      "cnt" -> (c => count(c)))
+    assert(AsOfJoin.rangeAggSkew(l, r, "conv_id", "pval", 3600L, aggs).count() == 0L)
+    // empty right side only: left rows still come back (null/zero-filled)
+    assert(AsOfJoin.rangeAggSkew(left(), r, "conv_id", "pval", 3600L, aggs).count() == 4L)
+  }
 }
