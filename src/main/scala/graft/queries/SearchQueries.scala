@@ -56,7 +56,10 @@ object SearchQueries {
         groupKeys = Seq("conv_id"),
         label = col("label_next_tool"),
         // gate-sized: full search semantics, trimmed width so the
-        // correctness run stays fast at low --cpus
+        // correctness run stays fast at low --cpus. lrTopK stays at the
+        // DEFAULT (4): this gate certifies the public-API two-stage
+        // MI->CV-LR oracle end-to-end (champion + output block from the
+        // LR-driven search, value-checked by the generated DuckDB oracle)
         CdfcConfig(cMax = 3, maxLayerWidth = 64, batchSize = 64))
       val out = model.transform(base)
       val featCols = out.columns.filter(_.startsWith("feat_")).sorted.toSeq
@@ -218,9 +221,12 @@ object SearchQueries {
       // stopAfterNonImproving = 2 (the reference default): layer 2 is all
       // affine children (no improvement possible), the mul signal lands at
       // layer 3, and the search must then stop at layer 5 — before cMax=6
+      // lrTopK=0: this gate pins MI-STAGE mechanics (affine skip, stop
+      // rules, layer accounting) — the LR-stage default is gated by
+      // q_cdfc / q_cdfc_lr
       val base = CdfcConfig(cMax = 6, binaryOps = Seq(BinOp.Mul),
         unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty,
-        stopAfterNonImproving = 2)
+        stopAfterNonImproving = 2, lrTopK = 0)
       // 3 independent probe chains (plain search, harmonic-stop search,
       // repeated CV) -> concurrent (FitPool)
       val chains = FitPool.all[Any](s, "spgate")(
@@ -266,9 +272,13 @@ object SearchQueries {
         // order-sensitive; the gate booleans must not depend on cpus/splits
         .repartition(4, col("event_id")).sortWithinPartitions("event_id")
         .drop("event_id")
+      // lrTopK=0: this gate pins the AICc FINAL SELECTION over an MI-stage
+      // search (the reference's selection step in isolation); the in-loop
+      // LR default is gated by q_cdfc / q_cdfc_lr
       val res = new Cdfc(ev, Seq("x1", "x2"), Nil, Nil, col("y"),
         CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
-          unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)).run()
+          unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty,
+          lrTopK = 0)).run()
       // 3-point C subgrid of the reference's 7: each grid value costs
       // folds x champions lbfgs fits (each fit ~25 treeAggregate JOBS on a
       // gate-sized input — the gate is job-latency-bound, not data-bound);
@@ -320,7 +330,8 @@ object SearchQueries {
         // order-sensitive; the champion pick must not depend on cpus
         .repartition(4, col("event_id")).sortWithinPartitions("event_id")
       val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(graft.exprs.BinOp.Mul),
-        unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty,
+        lrTopK = 0) // the MI-only arm; the LR arm sets lrTopK=4 explicitly
       // MI-only and LR-driven searches are independent -> concurrent
       val runs = FitPool.all[CdfcResult](s, "cdfclrgate")(
         () => new Cdfc(ev, Seq("x1", "x2", "x3"), Nil, Nil, col("y"), cfg).run(),
@@ -349,8 +360,12 @@ object SearchQueries {
           (pmod(xxhash64(col("event_id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
           (pmod(xxhash64(col("event_id") + 13), lit(100)).cast("double") / 100 + 0.5).as("x2"))
         .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+      // lrTopK=0: this gate pins checkpoint/resume bit-equality on the MI
+      // stage; resume UNDER the LR stage (lrauc.parquet round-trip) is
+      // spec-gated in CdfcSpec "resume under lrTopK"
       val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
-        unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax), groupByAggs = Seq.empty)
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax), groupByAggs = Seq.empty,
+        lrTopK = 0)
       val ckdir = java.nio.file.Files.createTempDirectory("graft_resume").toFile
       try {
         // the uninterrupted run and the stop+resume chain are independent ->

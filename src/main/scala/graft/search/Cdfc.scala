@@ -53,8 +53,17 @@ final case class CdfcConfig(
       * selection — completing the two-stage oracle of SURVEY §2.4 (cheap MI
       * prefilter for the lattice, exact LR for the survivors). Direct
       * parents of a re-scored candidate are LR-scored too (memoized), so
-      * the gain is AUC-vs-AUC, never mixed-scale. 0 = MI-only. */
-    lrTopK: Int = 0,
+      * the gain is AUC-vs-AUC, never mixed-scale.
+      *
+      * DEFAULT IS ON (4): the reference's gain oracle is the CV-LR fit for
+      * EVERY candidate (`run_evaluation.py:142-243`), so the public default
+      * must be the two-stage MI->LR oracle, not the MI prefilter alone — on
+      * fixtures where binned MI and LR-AUC rank champions differently, a
+      * MI-only default would diverge from reference semantics (the
+      * q_cdfc_lr planted decoy demonstrates exactly that). Set 0 for the
+      * MI-only prefilter, used internally by property gates that pin
+      * MI-stage mechanics (stop rules, layer logs, AICc-over-MI-search). */
+    lrTopK: Int = 4,
     lrFolds: Int = 3,
     lrGrid: Seq[Double] = Seq(1.0),
     /** Reference auto-stop for unbounded searches (`ComplexityDrivenFeature
@@ -188,7 +197,11 @@ final class Cdfc(
       // full-row entropy, or a low-cardinality candidate (one-hot, group
       // mean over few keys) collapses whole value-groups into one fold
       val mat = LayerBuilder.select(dfLr, dfLr.columns.toSeq, Seq("__lr_feat" -> e), fit)
-      LrScorer.score(mat, Seq("__lr_feat"), "__cdfc_label", cfg.lrFolds, cfg.lrGrid).auc
+      val auc = LrScorer.score(mat, Seq("__lr_feat"), "__cdfc_label", cfg.lrFolds, cfg.lrGrid).auc
+      // stored ROUNDED (1e-9): every downstream comparison (epsilon gate,
+      // champion maxBy, AICc per-class pick) is tie-sensitive, and lbfgs
+      // AUCs wobble by ULPs run-to-run (task-completion-ordered reduction)
+      math.rint(auc * 1e9) / 1e9
     }
     // parents whose AUC participates in the LR gain: the group KEY of a
     // GroupByThen is not a feature, and a categorical raw column (a one-hot

@@ -14,8 +14,11 @@ class CheckpointSpec extends SparkSpec {
     (pmod(xxhash64(col("id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"))
     .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
 
+  // lrTopK=0: checkpoint MECHANICS under test (resume-under-LR incl. the
+  // lrauc.parquet round-trip is covered by CdfcSpec "resume under lrTopK")
   private val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
-    unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax), groupByAggs = Seq.empty)
+    unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax), groupByAggs = Seq.empty,
+    lrTopK = 0)
 
   test("resume equals fresh: restart mid-search continues on the same path") {
     val dir = Files.createTempDirectory("ckpt").toString

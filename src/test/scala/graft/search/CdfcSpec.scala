@@ -70,7 +70,7 @@ class CdfcSpec extends SparkSpec {
     val res = new Cdfc(df, Seq("x1", "x2"), Seq.empty, Seq.empty, col("y"),
       CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul, BinOp.Add),
         unaryOps = Seq(UnaryOp.Minus, UnaryOp.Log, UnaryOp.MinMax),
-        groupByAggs = Seq.empty)).run()
+        groupByAggs = Seq.empty, lrTopK = 0)).run() // MI-stage mechanics under test
     val rawBest = res.survivors.filter(_.complexity == 1).map(_.score).max
     assert(res.best.score > rawBest + 0.1,
       s"best=${res.best.key} ${res.best.score} vs raw $rawBest")
@@ -83,7 +83,7 @@ class CdfcSpec extends SparkSpec {
       (col("id") % 2).cast("int").as("y"))
     val res = new Cdfc(df, Seq("x1"), Seq.empty, Seq.empty, col("y"),
       CdfcConfig(cMax = 3, unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax),
-        binaryOps = Seq.empty, groupByAggs = Seq.empty)).run()
+        binaryOps = Seq.empty, groupByAggs = Seq.empty, lrTopK = 0)).run()
     val keys = res.survivors.map(_.key)
     assert(keys.distinct.size == keys.size)
     // scale(x) has the same binned distribution as x -> fingerprint-deduped;
@@ -102,7 +102,7 @@ class CdfcSpec extends SparkSpec {
     val res = new Cdfc(df, raw, Nil, Nil, col("y"),
       CdfcConfig(cMax = 2, maxLayerWidth = 5,
         unaryOps = Seq(UnaryOp.Log, UnaryOp.Sqrt, UnaryOp.Square, UnaryOp.MinMax),
-        binaryOps = Seq.empty, groupByAggs = Seq.empty)).run()
+        binaryOps = Seq.empty, groupByAggs = Seq.empty, lrTopK = 0)).run()
     val l2 = res.layers.find(_.complexity == 2).get
     assert(l2.dropped > 0, s"expected a recorded drop, got $l2")
     assert(l2.enumerated == 24)
@@ -112,7 +112,7 @@ class CdfcSpec extends SparkSpec {
     val res2 = new Cdfc(df, raw, Nil, Nil, col("y"),
       CdfcConfig(cMax = 2, maxLayerWidth = 5,
         unaryOps = Seq(UnaryOp.Log, UnaryOp.Sqrt, UnaryOp.Square, UnaryOp.MinMax),
-        binaryOps = Seq.empty, groupByAggs = Seq.empty)).run()
+        binaryOps = Seq.empty, groupByAggs = Seq.empty, lrTopK = 0)).run()
     assert(res2.layers == res.layers && res2.best.key == res.best.key)
   }
 
@@ -134,7 +134,8 @@ class CdfcSpec extends SparkSpec {
         .otherwise(pmod(floor((col("x1") - 0.5) * 10).cast("long"), lit(2L)).cast("int")))
       .drop("g")
     val cfg = CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
-      unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)
+      unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty,
+      lrTopK = 0) // the MI-only arm of the divergence pair
     val mi = new Cdfc(base, Seq("x1", "x2", "x3"), Nil, Nil, col("y"), cfg).run()
     val lr = new Cdfc(base, Seq("x1", "x2", "x3"), Nil, Nil, col("y"),
       cfg.copy(lrTopK = 4)).run()
@@ -145,6 +146,25 @@ class CdfcSpec extends SparkSpec {
     assert(lr.best.key == "mul(x2,x3)",
       s"LR champion should be the planted product, got ${lr.best.key} (score ${lr.best.score})")
     assert(lr.best.score > 0.6 && lr.best.score < 1.0) // an AUC, not an MI
+  }
+
+  test("the two-stage MI->LR oracle is the DEFAULT: default config re-scores with LR") {
+    // reference semantics (run_evaluation.py:142-243: every candidate is
+    // CV-LR-scored) must hold without opt-in — a default-config search runs
+    // the LR stage and crowns its champion from the AUC channel
+    assert(CdfcConfig().lrTopK > 0)
+    val df = spark.range(2000).select(
+      (pmod(xxhash64(col("id")), lit(100)).cast("double") / 100 + 0.5).as("x1"),
+      (pmod(xxhash64(col("id") + 7), lit(100)).cast("double") / 100 + 0.5).as("x2"))
+      .withColumn("y", (col("x1") * col("x2") > lit(1.0)).cast("int"))
+    val res = new Cdfc(df, Seq("x1", "x2"), Nil, Nil, col("y"),
+      CdfcConfig(cMax = 3, binaryOps = Seq(BinOp.Mul),
+        unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax), groupByAggs = Seq.empty)).run()
+    assert(res.lrAuc.nonEmpty, "default config must populate the LR-AUC channel")
+    // the champion is LR-scored and its score IS its (rounded) stored AUC
+    assert(res.lrAuc.get(res.best.key).contains(res.best.score),
+      s"champion ${res.best.key} score ${res.best.score} not from lrAuc ${res.lrAuc}")
+    assert(res.best.key == "mul(x1,x2)" && res.best.score > 0.9)
   }
 
   test("lrTopK tolerates group-by and one-hot candidates (non-numeric parents excluded)") {
@@ -202,7 +222,7 @@ class CdfcSpec extends SparkSpec {
     val res = new Cdfc(df, Seq("x1", "x2"), Nil, Nil, col("y"),
       CdfcConfig(cMax = 8, harmonicStop = true, stopAfterNonImproving = 99,
         binaryOps = Seq(BinOp.Mul), unaryOps = Seq(UnaryOp.Minus, UnaryOp.MinMax),
-        groupByAggs = Seq.empty)).run()
+        groupByAggs = Seq.empty, lrTopK = 0)).run() // harmonic stop is an MI-rank rule
     val deepest = res.layers.map(_.complexity).maxOption.getOrElse(1)
     assert(deepest < 8, s"expected auto-stop before cMax, layers=${res.layers}")
     assert(res.best.score > 0.3) // still found the planted interaction
