@@ -165,6 +165,10 @@ object WindowQueries {
 
     "q_stream_session" -> ((s, dir) => streamSessionResult(s, dir)),
 
+    // the production-mode variant: watermarked append output, sessions
+    // emitted once at close and state evicted — same gap-island oracle
+    "q_stream_session_append" -> ((s, dir) => streamSessionAppendResult(s, dir)),
+
     // Watermarked tumbling windows over the same 2-batch stream (complete
     // mode): counts/char-sums per (conv, 10-minute window) == the batch
     // epoch-floor groupBy in SQL
@@ -201,29 +205,46 @@ object WindowQueries {
   private def tsMicros(t: java.sql.Timestamp): Long =
     (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** Shared streaming-gate harness: drive `transform` over a 2-micro-batch
-    * MemoryStream of the transcripts (state/aggregations must carry across
-    * the batch boundary) into a memory sink; returns the sink's rows. The
-    * memory table stays readable after stop().
+  /** Streaming-gate harness: drive `transform` over a MemoryStream fed one
+    * `batches` element per micro-batch (state/aggregations must carry
+    * across every batch boundary) into a memory sink; returns the sink's
+    * rows. The memory table stays readable after stop().
     */
-  private def twoBatchStream(s: SparkSession, dir: String, mode: String)(
+  private def multiBatchStream(
+      s: SparkSession,
+      batches: Seq[Seq[graft.transcripts.Turn]],
+      mode: String)(
       transform: org.apache.spark.sql.Dataset[graft.transcripts.Turn] => DataFrame): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val turns = T(s, dir).as[graft.transcripts.Turn].collect()
-      .sortBy(t => (tsMicros(t.ts), t.turn_idx))
-    val (first, second) = turns.splitAt(turns.length / 2)
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
     val qn = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = transform(stream.toDS())
       .writeStream.format("memory").queryName(qn).outputMode(mode).start()
-    stream.addData(first.toIndexedSeq)
-    q.processAllAvailable()
-    stream.addData(second.toIndexedSeq)
-    q.processAllAvailable()
+    batches.foreach { b =>
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+    }
     q.stop()
     s.table(qn)
+  }
+
+  /** Event-time-sorted transcript turns, split in half — the standard
+    * 2-micro-batch feed (the split respects event time, so the second
+    * batch never carries late data for the first).
+    */
+  private def sortedHalves(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val turns = T(s, dir).as[graft.transcripts.Turn].collect()
+      .sortBy(t => (tsMicros(t.ts), t.turn_idx))
+    turns.splitAt(turns.length / 2)
+  }
+
+  private def twoBatchStream(s: SparkSession, dir: String, mode: String)(
+      transform: org.apache.spark.sql.Dataset[graft.transcripts.Turn] => DataFrame): DataFrame = {
+    val (first, second) = sortedHalves(s, dir)
+    multiBatchStream(s, Seq(first.toSeq, second.toSeq), mode)(transform)
   }
 
   /** Built-in `session_window` under the DuckDB gate: per-(conv, session)
@@ -236,12 +257,48 @@ object WindowQueries {
   private def streamSessionResult(s: SparkSession, dir: String): DataFrame =
     twoBatchStream(s, dir, "complete")(ds =>
       graft.streaming.StreamingFeatures.sessionAggregates(ds.toDF(), gap = "30 minutes"))
-      .select(
-        col("conv_id"),
-        unix_micros(col("window_start")).as("window_start_us"),
-        col("session_turns").cast("long").as("session_turns"),
-        col("session_chars").cast("long").as("session_chars"),
-        unix_micros(col("session_end")).as("session_end_us"))
+      .transform(sessionSelect)
+
+  private def sessionSelect(df: DataFrame): DataFrame =
+    df.select(
+      col("conv_id"),
+      unix_micros(col("window_start")).as("window_start_us"),
+      col("session_turns").cast("long").as("session_turns"),
+      col("session_chars").cast("long").as("session_chars"),
+      unix_micros(col("session_end")).as("session_end_us"))
+
+  /** Watermarked APPEND-mode session gate — the shape that runs at scale.
+    * Complete mode (q_stream_session) re-emits every session each batch and
+    * buffers ALL session state forever — unusable on an unbounded stream;
+    * append emits each session exactly once when the watermark passes its
+    * close, then EVICTS its state (eviction itself is asserted in
+    * StreamingSpec via stateOperators.numRowsTotal).
+    *
+    * Feed: the two event-time-ordered real batches (sessions must merge
+    * across the boundary), then two far-future single-turn WATERMARK
+    * SENTINELS. A batch evicts/emits against the watermark derived from the
+    * PREVIOUS batches' max event time, so the first sentinel advances the
+    * watermark past every real session close and the second guarantees a
+    * batch runs under that advanced watermark. Every real session is
+    * therefore finalized, and append-mode output must equal the SAME full
+    * batch gap-island SQL as q_stream_session — value parity for closed
+    * sessions, which here is all of them. Sentinel conversations are
+    * filtered from the output (the second sentinel's open session never
+    * emits; the first's may — both are synthetic).
+    */
+  private def streamSessionAppendResult(s: SparkSession, dir: String): DataFrame = {
+    val (first, second) = sortedHalves(s, dir)
+    val maxMs = second.last.ts.getTime
+    def sentinel(tag: String, plusDays: Int) = graft.transcripts.Turn(
+      s"zzz_wm_$tag", 0, "user", "", None,
+      new java.sql.Timestamp(maxMs + plusDays * 86400000L))
+    multiBatchStream(s,
+      Seq(first.toSeq, second.toSeq, Seq(sentinel("a", 10)), Seq(sentinel("b", 20))),
+      "append")(ds =>
+        graft.streaming.StreamingFeatures.sessionAggregates(ds.toDF(), gap = "30 minutes"))
+      .filter(!col("conv_id").startsWith("zzz_wm_"))
+      .transform(sessionSelect)
+  }
 
   private def rangeResult(s: SparkSession, dir: String, skew: Boolean): DataFrame = {
     val left = T(s, dir)
@@ -423,23 +480,11 @@ object WindowQueries {
          |       FLOOR(CAST(mx AS DOUBLE) * 1000000 + 0.5) / 1000000 AS purch_max_1h
          |FROM f WHERE side = 1""".stripMargin
 
-  private lazy val moreOracles: Map[String, String] = Map(
-    "q_dict_roundtrip" ->
-      s"""$cte
-         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
-         |       LAST_VALUE(tool IGNORE NULLS) OVER (
-         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tool
-         |FROM transcripts""".stripMargin,
-
-    "q_stream_tumbling" ->
-      s"""$cte
-         |SELECT conv_id,
-         |       CAST(FLOOR(epoch_us(ts) / 600000000) * 600000000 AS BIGINT) AS window_start_us,
-         |       CAST(COUNT(*) AS BIGINT) AS turns,
-         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
-         |FROM transcripts GROUP BY 1, 2""".stripMargin,
-
-    "q_stream_session" ->
+  /** The batch gap-island sessionization both session gates compare to
+    * (session_window merge rule is STRICT: a new session starts at
+    * gap >= the window gap).
+    */
+  private lazy val sessionSql: String =
       s"""$cte,
          |g AS (
          |  SELECT conv_id, ts, turn_idx, LENGTH(text) AS len,
@@ -456,7 +501,28 @@ object WindowQueries {
          |       CAST(COUNT(*) AS BIGINT) AS session_turns,
          |       CAST(SUM(len) AS BIGINT) AS session_chars,
          |       MAX(epoch_us(ts)) AS session_end_us
-         |FROM sess GROUP BY conv_id, sid""".stripMargin,
+         |FROM sess GROUP BY conv_id, sid""".stripMargin
+
+  private lazy val moreOracles: Map[String, String] = Map(
+    "q_dict_roundtrip" ->
+      s"""$cte
+         |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+         |       LAST_VALUE(tool IGNORE NULLS) OVER (
+         |         $wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_tool
+         |FROM transcripts""".stripMargin,
+
+    "q_stream_tumbling" ->
+      s"""$cte
+         |SELECT conv_id,
+         |       CAST(FLOOR(epoch_us(ts) / 600000000) * 600000000 AS BIGINT) AS window_start_us,
+         |       CAST(COUNT(*) AS BIGINT) AS turns,
+         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars
+         |FROM transcripts GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_session" -> sessionSql,
+    // append mode finalizes EVERY real session (the sentinel batches push
+    // the watermark past all real closes), so the oracle is identical
+    "q_stream_session_append" -> sessionSql,
 
     "q_streaming" ->
       s"""$cte,

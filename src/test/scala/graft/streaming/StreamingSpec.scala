@@ -92,6 +92,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode session_window emits each closed session once and EVICTS its state") {
+    // complete mode buffers all session state forever; the production shape
+    // is watermarked append, whose state store must SHRINK once the
+    // watermark passes session closes — asserted on the query's own
+    // stateOperators.numRowsTotal, batch by batch
+    implicit val sqlCtx = spark.sqlContext
+    val turns = batchTurns.as[Turn].collect()
+      .sortBy(t => (t.ts.getTime, t.turn_idx)).toIndexedSeq
+    val maxMs = turns.last.ts.getTime
+    def sentinel(tag: String, plusDays: Int) =
+      Turn("zzz_" + tag, 0, "user", "", None,
+        new java.sql.Timestamp(maxMs + plusDays * 86400000L))
+    val stream = MemoryStream[Turn]
+    // 30-day watermark delay: longer than the fixture's whole time span, so
+    // after the real batch EVERY session is still open in state (a shorter
+    // delay lets the engine's no-data follow-up batch evict most sessions
+    // immediately, hiding the buffered phase this test wants to observe)
+    val q = StreamingFeatures.sessionAggregates(stream.toDS().toDF(), "30 minutes", "30 days")
+      .writeStream.format("memory").queryName("sess_append").outputMode("append").start()
+    val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    def feed(batch: Seq[Turn]): Unit = {
+      stream.addData(batch.toIndexedSeq)
+      q.processAllAvailable()
+      stateRows += q.lastProgress.stateOperators(0).numRowsTotal
+    }
+    feed(turns)                      // all real turns: sessions buffered in state
+    feed(Seq(sentinel("a", 100)))    // watermark jumps past every real close
+    feed(Seq(sentinel("b", 200)))    // a batch runs UNDER that watermark -> eviction
+    q.stop()
+
+    assert(stateRows.head > 2, s"expected buffered sessions after batch 1: $stateRows")
+    assert(stateRows.last < stateRows.head,
+      s"state must shrink after the watermark passes: $stateRows")
+    assert(stateRows.last <= 2, // only the sentinels' own open sessions may remain
+      s"real sessions must be evicted, state = $stateRows")
+
+    // emitted-once parity: append output (sans sentinels) == batch gap-island sessions
+    val emitted = spark.table("sess_append").filter(!col("conv_id").startsWith("zzz_"))
+    val batchSessions = batchTurns
+      .withColumn("sid", WindowFeatures.sessionId(1800L))
+      .select("conv_id", "sid").distinct().count()
+    assert(emitted.count() == batchSessions)
+    val totalTurns = emitted.agg(sum("session_turns")).head().getLong(0)
+    assert(totalTurns == turns.size)
+  }
+
   test("broadcast as-of runs UNCHANGED on a stream and equals the batch as-of") {
     // asOfBroadcast is a stateless projection over a stream-static broadcast
     // join (no state store, no watermark needed), so a live transcript feed
