@@ -44,6 +44,19 @@ object SimilarityQueries {
     }),
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), k = 5, nBits = 6)),
+    // Cost-based top-k routing: both regimes in one row. The brute arm
+    // live-probes the corpus (small at gate scale -> nested-loop exact
+    // plan, same values as the q_cosine_topk oracle); the lsh arm forces
+    // the large-corpus route via corpusRowsHint and must reproduce the
+    // full LSH SQL replication. AnnSpec asserts each regime's plan shape.
+    "q_topk_auto" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = Ann.topkAuto(e.filter(col("vec_id") < 20), e, k = 5)
+      val lsh = Ann.topkAuto(e, e, k = 5, nBits = 6, maxBucket = None,
+        corpusRowsHint = Some(Long.MaxValue))
+      brute.withColumn("route", lit("brute"))
+        .unionByName(lsh.withColumn("route", lit("lsh")))
+    }),
     // IVF with a GENERATED full value oracle: the trained centroids embed
     // as literals (like fitted stats), and the SQL recomputes assignment
     // (argmin with (d, cell) tie-break), nprobe probing, exact cosine and
@@ -198,6 +211,24 @@ object SimilarityQueries {
          |FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "q_ann_lsh" -> lshOracle(k = 5, nBits = 6, tables = 4),
+
+    "q_topk_auto" ->
+      s"""SELECT 'brute' AS route, * FROM (
+         |WITH $eCte,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q, e c
+         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, nid, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ${pround("cos")} DESC, nid) AS rnk
+         |  FROM scored)
+         |SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, ${pround("cos")} AS cos
+         |FROM ranked WHERE rnk <= 5)
+         |UNION ALL
+         |SELECT 'lsh' AS route, * FROM (
+         |${lshOracle(k = 5, nBits = 6, tables = 4)})""".stripMargin,
 
     "q_near_dup" ->
       s"""WITH u AS (

@@ -98,6 +98,32 @@ object WindowQueries {
           col6(col("conv_sum")).as("conv_sum_len"))
     }),
 
+    // Cost-based GroupByThen routing (the AsOfJoin.auto of group
+    // aggregates): the SAME input runs through BOTH regimes — a hint
+    // claiming a balanced histogram forces the key-partition window, a
+    // hint claiming one dominant key forces the salted two-phase route —
+    // and the union must match one oracle computing the moment formulas
+    // once (routing must never change values; GroupByAutoSpec additionally
+    // asserts the plan shape of each regime and the live probe's picks).
+    "q_groupby_auto" -> ((s, dir) => {
+      val base = T(s, dir)
+      val len = length(col("text")).cast("double")
+      def shaped(routed: DataFrame, tag: String): DataFrame =
+        routed.select(lit(tag).as("route"),
+          col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+          col6(col("conv_mean")).as("conv_mean_len"),
+          col6(col("conv_std")).as("conv_std_len"),
+          col("conv_min").cast("long").as("conv_min_len"),
+          col("conv_max").cast("long").as("conv_max_len"),
+          col("conv_cnt").as("conv_cnt"),
+          col6(col("conv_sum")).as("conv_sum_len"))
+      val windowed = WF.groupByThenAuto(base, "conv_id", len, "conv",
+        statsHint = Some((1000000L, 1L)))        // balanced -> window route
+      val salted = WF.groupByThenAuto(base, "conv_id", len, "conv",
+        salts = 8, statsHint = Some((100L, 100L))) // one hot key -> salted
+      shaped(windowed, "window").unionByName(shaped(salted, "salted"))
+    }),
+
     // Bucketed-table layout under the driver gate: both sides of a
     // conv_id equi-join are written bucketBy(8, conv_id).sortBy(conv_id)
     // and joined with a sort-merge hint — the zero-exchange plan
@@ -447,6 +473,26 @@ object WindowQueries {
          |       CAST(n AS BIGINT) AS conv_cnt,
          |       FLOOR(CAST(s1 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_sum_len
          |FROM transcripts t JOIN agg USING (conv_id)""".stripMargin,
+
+    "q_groupby_auto" ->
+      s"""$cte,
+         |agg AS (
+         |  SELECT conv_id, COUNT(*) AS n,
+         |         SUM(CAST(LENGTH(text) AS DOUBLE)) AS s1,
+         |         SUM(CAST(LENGTH(text) AS DOUBLE) * CAST(LENGTH(text) AS DOUBLE)) AS s2,
+         |         MIN(LENGTH(text)) AS mn, MAX(LENGTH(text)) AS mx
+         |  FROM transcripts GROUP BY conv_id),
+         |one AS (
+         |  SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,
+         |         FLOOR(CAST((s1 / n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_mean_len,
+         |         CASE WHEN n > 1 THEN FLOOR(CAST(SQRT((s2 - s1 * s1 / n) / (n - 1)) AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS conv_std_len,
+         |         CAST(mn AS BIGINT) AS conv_min_len, CAST(mx AS BIGINT) AS conv_max_len,
+         |         CAST(n AS BIGINT) AS conv_cnt,
+         |         FLOOR(CAST(s1 AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conv_sum_len
+         |  FROM transcripts t JOIN agg USING (conv_id))
+         |SELECT 'window' AS route, * FROM one
+         |UNION ALL
+         |SELECT 'salted' AS route, * FROM one""".stripMargin,
 
     "q_asof_join" -> asofSql,
     "q_asof_skew" -> asofSql,

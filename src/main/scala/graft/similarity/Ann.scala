@@ -88,25 +88,38 @@ object Ann {
     */
   def lshTopK(embeddings: DataFrame, k: Int = 5, nBits: Int = 8, tables: Int = 4,
       id: String = "vec_id", vec: String = "embedding",
+      maxBucket: Option[Long] = None): DataFrame =
+    lshTopK2(embeddings, embeddings, k, nBits, tables, id, vec, maxBucket)
+
+  /** Two-table [[lshTopK]]: queries and corpus bucket with the SAME
+    * deterministic hyperplane family (a pure function of (bit, dim) — no
+    * shared fitted state), so with queries == corpus this is exactly the
+    * self variant. Hot-bucket caps apply per side.
+    */
+  def lshTopK2(queries: DataFrame, corpus: DataFrame, k: Int = 5, nBits: Int = 8,
+      tables: Int = 4, id: String = "vec_id", vec: String = "embedding",
       maxBucket: Option[Long] = None): DataFrame = {
-    val e = withNorm(embeddings, id, vec)
-    val buckets0 = (0 until tables).map { t =>
-      e.select(col(id), lit(t).as("tbl"), lshBucket(col(vec), nBits, t).as("bucket"))
-    }.reduce(_ unionByName _)
     // hot-bucket cap: a degenerate bucket (e.g. the all-zeros region) emits
     // m^2 candidates; cap it and let the other tables carry recall.
     // None = exact (oracle-checked configuration).
-    val buckets = maxBucket.fold(buckets0) { m =>
-      buckets0.withColumn("__df", count(lit(1)).over(
-          Window.partitionBy(col("tbl"), col("bucket"))))
-        .filter(col("__df") <= m).drop("__df")
+    def buckets(e: DataFrame): DataFrame = {
+      val b0 = (0 until tables).map { t =>
+        e.select(col(id), lit(t).as("tbl"), lshBucket(col(vec), nBits, t).as("bucket"))
+      }.reduce(_ unionByName _)
+      maxBucket.fold(b0) { m =>
+        b0.withColumn("__df", count(lit(1)).over(
+            Window.partitionBy(col("tbl"), col("bucket"))))
+          .filter(col("__df") <= m).drop("__df")
+      }
     }
-    val cand = buckets.as("l").join(buckets.as("r"), Seq("tbl", "bucket"))
+    val qe = withNorm(queries, id, vec)
+    val ce = withNorm(corpus, id, vec)
+    val cand = buckets(qe).as("l").join(buckets(ce).as("r"), Seq("tbl", "bucket"))
       .select(col(s"l.$id").as("qid"), col(s"r.$id").as("nid"))
       .filter(col("qid") =!= col("nid"))
       .distinct()
-    val q = e.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"))
-    val c = e.select(col(id).as("nid"), col(vec).as("cv"), col("nrm").as("cn"))
+    val q = qe.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"))
+    val c = ce.select(col(id).as("nid"), col(vec).as("cv"), col("nrm").as("cn"))
     cand.join(q, "qid").join(c, "nid")
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(
@@ -114,6 +127,29 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
         col6(col("cos")).as("cos"))
+  }
+
+  /** Cost-based top-k routing (the [[graft.windows.AsOfJoin.auto]] of
+    * similarity search): a corpus small enough to broadcast makes the
+    * brute-force nested-loop scan the FASTEST plan (no bucketing passes, no
+    * candidate shuffle, exact by construction); anything larger must never
+    * reach the cartesian — it routes to the bucket-local multi-table LSH
+    * join with a hot-bucket cap. Default entry point so no caller hits the
+    * O(Q*N) plan on a large corpus by accident ([[cosineTopK]] remains the
+    * documented correctness oracle).
+    *
+    * @param corpusRowsHint caller-known corpus row count — skips the probe
+    *                       (and, in tests, forces a regime deterministically)
+    */
+  def topkAuto(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      nBits: Int = 8, tables: Int = 4,
+      id: String = "vec_id", vec: String = "embedding",
+      bruteMaxRows: Long = 100000L,
+      maxBucket: Option[Long] = Some(10000L),
+      corpusRowsHint: Option[Long] = None): DataFrame = {
+    val n = corpusRowsHint.getOrElse(corpus.count())
+    if (n <= bruteMaxRows) cosineTopK(queries, corpus, k, id, vec)
+    else lshTopK2(queries, corpus, k, nBits, tables, id, vec, maxBucket)
   }
 
   /** IVF (inverted-file) top-k: a coarse KMeans quantizer partitions the

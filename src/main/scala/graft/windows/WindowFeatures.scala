@@ -149,6 +149,60 @@ object WindowFeatures {
       .drop("__n", "__s1", "__s2", "__min", "__max")
   }
 
+  /** The [[groupByThenSalted]] column set via the plain key-partition window
+    * — the right plan when no key dominates (one exchange, zero joins).
+    * Derives mean/std from the SAME moment formulas as the salted route
+    * (n, s1, s2 then `sqrt((s2 - s1^2/n)/(n-1))`), so on integer-valued
+    * inputs the two routes are bit-identical and [[groupByThenAuto]] can
+    * switch between them without changing results.
+    */
+  def groupByThenWindowed(df: DataFrame, keyCol: String, value: Column,
+      prefix: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val v = value.cast("double")
+    val n = count(v).over(w).cast("double")
+    val s1 = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    df.withColumn(s"${prefix}_mean", s1 / n)
+      .withColumn(s"${prefix}_std",
+        when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - 1))))
+      .withColumn(s"${prefix}_min", min(v).over(w))
+      .withColumn(s"${prefix}_max", max(v).over(w))
+      .withColumn(s"${prefix}_cnt", count(v).over(w))
+      .withColumn(s"${prefix}_sum", s1)
+  }
+
+  /** Cost-based GroupByThen (the [[graft.windows.AsOfJoin.auto]] of group
+    * aggregates): probe the key histogram once (one cheap two-level agg, or
+    * accept caller-known stats via `statsHint`) and route —
+    *
+    *  - a key holding more than a fair per-task share (`maxKey > total /
+    *    defaultParallelism`) would serialize the window's single-partition
+    *    sort task, so take [[groupByThenSalted]] (measured 2.12x at 60% hot
+    *    key, BENCH_SKEW_GROUPBY);
+    *  - otherwise the plain [[groupByThenWindowed]] key-partition window
+    *    (measured 0.83x for salted at 20% hot — the window wins when no key
+    *    dominates, and it is one exchange with zero joins).
+    *
+    * Both routes compute identical moment formulas, so routing never changes
+    * values (bit parity on integer-valued inputs; GroupByAutoSpec asserts it).
+    */
+  def groupByThenAuto(df: DataFrame, keyCol: String, value: Column,
+      prefix: String, salts: Int = 32, broadcastJoin: Boolean = true,
+      statsHint: Option[(Long, Long)] = None): DataFrame = {
+    val (total, maxKey) = statsHint.getOrElse {
+      val r = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n")), max(col("__n"))).head()
+      // empty input: aggregates are NULL; either route returns empty rows
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
+    val par = math.max(df.sparkSession.sparkContext.defaultParallelism, 1).toLong
+    if (maxKey > total / par)
+      groupByThenSalted(df, keyCol, value, prefix, salts, broadcastJoin)
+    else
+      groupByThenWindowed(df, keyCol, value, prefix)
+  }
+
   /** All standard per-turn features of the minimum slice (SURVEY §7.2) in one
     * select — single shuffle on `conv_id`.
     */

@@ -45,6 +45,25 @@ class AnnSpec extends SparkSpec {
     assert(rNarrow < 1.0 && rNarrow > 0.05, s"narrow=$rNarrow")
   }
 
+  test("topkAuto: small corpus routes to the exact nested-loop plan, large to LSH") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter(col("vec_id") < 10)
+    // small corpus (live probe): brute route, byte-identical to cosineTopK
+    val brute = Ann.topkAuto(q, e)
+    val bp = brute.queryExecution.executedPlan.toString()
+    assert(bp.contains("BroadcastNestedLoopJoin"), s"expected cartesian plan:\n$bp")
+    assert(brute.orderBy("qid", "rnk").collect().toSeq ==
+      Ann.cosineTopK(q, e).orderBy("qid", "rnk").collect().toSeq)
+    // forced large corpus: LSH route — bucket equi-joins, no nested loop
+    val lsh = Ann.topkAuto(e, e, nBits = 4, maxBucket = None,
+      corpusRowsHint = Some(Long.MaxValue))
+    val lp = lsh.queryExecution.executedPlan.toString()
+    assert(!lp.contains("BroadcastNestedLoopJoin"),
+      s"LSH route must never plan a cartesian:\n$lp")
+    assert(lsh.orderBy("qid", "rnk").collect().toSeq ==
+      Ann.lshTopK(e, nBits = 4).orderBy("qid", "rnk").collect().toSeq)
+  }
+
   test("brute-force top-1 neighbor of a vector's scaled copy is that copy") {
     val e = Tables.embeddings(spark, sf0001).limit(20)
     val scaled = e.select((col("vec_id") + 500).as("vec_id"),
