@@ -46,9 +46,24 @@ object Bench {
     // rep r runs every query before rep r+1 starts (not query-major): a
     // transient host stall then poisons one rep of many queries instead of
     // all reps of one, which is what makes min-of-reps robust here.
+    //
+    // CONTAMINATION MARKER (the ScalingBench protocol, applied here): a
+    // zero-shuffle control job — row-local hash fold over the events scan —
+    // brackets every rep. Its time moves ONLY with host load (no exchange,
+    // no sort, no fits), so a rep whose control reading is inflated vs the
+    // best control is attributable to a co-tenant burst, not a plan change.
+    def controlJob(): Double = {
+      val raw = Tables.events(spark, sfDir)
+      val t0 = System.nanoTime()
+      force(raw.select(xxhash64(raw.columns.map(col): _*).as("h")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlJob() // warm the control's own codegen/footers
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    val controls = collection.mutable.ArrayBuffer.empty[Double]
     (0 until reps).foreach { _ =>
+      controls += controlJob()
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -57,6 +72,7 @@ object Bench {
         }
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       }
+      controls += controlJob()
     }
     val mins = names.map(n => n -> times(n).min)
 
@@ -84,11 +100,14 @@ object Bench {
     val gates = Set("q_selectors", "q_traversals", "q_ann_recall", "q_ml_props",
       "q_fairexp", "q_lr_aicc", "q_resume", "q_search_props", "q_cdfc_lr")
     val gateSec = mins.collect { case (k, v) if gates(k) => v }.sum
+    val ctlJson = controls.map(fmt).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_reps":$repJson,"reps":$reps,"sf":"$sfDir",""" +
       s""""turns_per_sec":${turnsPerSec.round},"flagship_sec":${fmt(flagshipSec)},""" +
-      s""""property_gates_sec":${fmt(gateSec)},"data_queries_sec":${fmt(total - gateSec)}}"""
+      s""""property_gates_sec":${fmt(gateSec)},"data_queries_sec":${fmt(total - gateSec)},""" +
+      s""""control_reps":$ctlJson,"control_min":${fmt(controls.min)},""" +
+      s""""control_spread":${fmt(controls.max / controls.min)}}"""
     println(line)
 
     sys.env.get("SPARK_GRAFT_BENCH_NOTES").foreach { path =>
@@ -106,6 +125,12 @@ object Bench {
            |+ constant-size property gates ${fmt(gateSec)} s.
            |Flagship window-feature job: ${turnsPerSec.round} turns/s
            |($nTurns turns in ${fmt(flagshipSec)} s, min of $reps).
+           |
+           |Zero-shuffle control job bracketing each rep (host-load marker —
+           |moves only with co-tenant load, never with plan changes):
+           |${controls.map(fmt).mkString(", ")} s; spread
+           |${fmt(controls.max / controls.min)}x. A rep inflated together
+           |with its control readings is host noise, not a regression.
            |
            || query | min (s) | max (s) | reps (s) |
            ||---|---|---|---|
