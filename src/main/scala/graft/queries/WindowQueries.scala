@@ -207,6 +207,23 @@ object WindowQueries {
           col("turns").cast("long").as("turns"),
           col("chars").cast("long").as("chars"))),
 
+    // Streaming exact dedup (dropDuplicatesWithinWatermark on the 8-byte
+    // text fingerprint): batch 2 re-feeds every batch-1 row, so the
+    // cross-batch duplicates can ONLY be eliminated by dedup state carried
+    // across the micro-batch boundary (within-batch distinct would pass
+    // them through). Horizon exceeds the fixture's event-time span, so no
+    // key is evicted mid-stream and the survivor set must equal the batch
+    // DISTINCT — the oracle. Only `text` is emitted: every row sharing a
+    // fingerprint carries the same text, so the output is deterministic
+    // even though WHICH duplicate row survives is not.
+    "q_stream_dedup" -> ((s, dir) => {
+      val (first, second) = sortedHalves(s, dir)
+      multiBatchStream(s, Seq(first.toSeq, second.toSeq ++ first.toSeq), "append")(ds =>
+        graft.streaming.StreamingFeatures.dedupWithinWatermark(
+          ds.toDF(), horizon = "3650 days"))
+        .select(col("text"))
+    }),
+
     // Dictionary encode -> window over the ENCODED ints -> decode: output
     // must equal computing the same backfill over the raw strings (the
     // oracle recomputes from raw text in DuckDB). This is the flagship
@@ -386,6 +403,10 @@ object WindowQueries {
          |SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool,
          |       epoch_us(ts) AS ts_us
          |FROM transcripts""".stripMargin,
+
+    "q_stream_dedup" ->
+      s"""$cte
+         |SELECT DISTINCT text FROM transcripts""".stripMargin,
 
     "q_lag_lead" ->
       s"""$cte

@@ -15,21 +15,30 @@ object Nsga2 {
 
   final case class Individual(mask: Vector[Boolean], objectives: Vector[Double])
 
-  /** Maximizes every objective. Returns the final front (rank-0). */
+  /** Maximizes every objective. Returns the final front (rank-0).
+    *
+    * `initPop` seeds the starting population (warm start); when it holds
+    * the EXHAUSTIVE mask enumeration, elitist environmental selection
+    * (parents ∪ children, best fronts kept) makes the final front exactly
+    * the true Pareto front of the whole space, trajectory-independent —
+    * the property `q_nsga2` checks against a SQL-recomputed front.
+    */
   def run(
       nGenes: Int,
       evaluate: Vector[Boolean] => Vector[Double],
       popSize: Int = 16,
       generations: Int = 5,
-      seed: Long = 42L): Seq[Individual] = {
-    require(nGenes > 0 && popSize >= 4)
+      seed: Long = 42L,
+      initPop: Seq[Vector[Boolean]] = Nil): Seq[Individual] = {
+    require(nGenes > 0 && (if (initPop.nonEmpty) initPop.size else popSize) >= 4)
     val rnd = new scala.util.Random(seed)
     val memo = collection.mutable.HashMap[Vector[Boolean], Vector[Double]]()
     def eval(m: Vector[Boolean]): Vector[Double] = memo.getOrElseUpdate(m, evaluate(m))
 
     def randomMask(): Vector[Boolean] = Vector.fill(nGenes)(rnd.nextBoolean())
     var pop: Vector[Individual] =
-      Vector.fill(popSize)(randomMask()).map(m => Individual(m, eval(m)))
+      (if (initPop.nonEmpty) initPop.toVector
+       else Vector.fill(popSize)(randomMask())).map(m => Individual(m, eval(m)))
 
     def dominates(a: Individual, b: Individual): Boolean =
       a.objectives.zip(b.objectives).forall { case (x, y) => x >= y } &&

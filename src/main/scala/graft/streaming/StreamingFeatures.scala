@@ -56,6 +56,24 @@ object StreamingFeatures {
       .select(col("conv_id"), col("w.start").as("window_start"),
         col("turns"), col("chars"))
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` keyed on an
+    * 8-byte xxhash64 fingerprint of the text — the dedup state store
+    * carries (fingerprint, event-time) only, never the blob, which is what
+    * makes exact dedup feasible on an unbounded stream (the batch
+    * counterpart is `Dedup.exactVerified`, same never-shuffle-the-blob
+    * rule). Duplicates arriving within `horizon` of each other collapse to
+    * the first arrival; fingerprints older than the watermark are EVICTED
+    * (asserted in StreamingSpec), so state size is bounded by the
+    * horizon's key cardinality, not the stream's. A duplicate arriving
+    * after its key was evicted is re-emitted — the documented watermark
+    * contract, traded deliberately for bounded state.
+    */
+  def dedupWithinWatermark(turns: DataFrame, horizon: String = "1 hour"): DataFrame =
+    turns
+      .withColumn("fp", xxhash64(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class ConvState(
       lastTsMicros: Long,
       turnCount: Long,

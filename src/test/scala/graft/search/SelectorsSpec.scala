@@ -96,6 +96,32 @@ class SelectorsSpec extends SparkSpec {
       front().map(i => (i.mask, i.objectives)).toSet)
   }
 
+  test("NSGA-II with an exhaustive seed converges to the TRUE Pareto front") {
+    // elitist environmental selection over a fully-enumerated population
+    // cannot lose a rank-0 member, so the final front must equal the
+    // brute-force front regardless of the GA's random trajectory — the
+    // property the q_nsga2 DuckDB oracle gates on real data
+    val nGenes = 5
+    def objs(m: Vector[Boolean]): Vector[Double] =
+      if (m.forall(!_)) Vector(Double.NegativeInfinity, Double.NegativeInfinity)
+      else {
+        // non-additive objective with interactions (xor-flavored), plus -size
+        val idx = m.zipWithIndex.collect { case (true, i) => i }
+        val gain = idx.map(i => (i * 37 + 11) % 23).sum % 17 + idx.sum
+        Vector(gain.toDouble, -idx.size.toDouble)
+      }
+    val all = (1 until 32).map(i => Vector.tabulate(nGenes)(b => ((i >> b) & 1) == 1))
+    def dominates(a: Vector[Double], b: Vector[Double]) =
+      a.zip(b).forall { case (x, y) => x >= y } && a.zip(b).exists { case (x, y) => x > y }
+    val brute = all.filter(a => !all.exists(b => b != a && dominates(objs(b), objs(a)))).toSet
+    (0 until 3).foreach { seed =>
+      val got = Nsga2.run(nGenes, objs, popSize = 31, generations = 3,
+        seed = seed, initPop = all)
+        .filter(_.mask.exists(identity)).map(_.mask).toSet
+      assert(got == brute, s"seed $seed: $got vs $brute")
+    }
+  }
+
   test("Cognito traversal descends a strictly improving path to a composition") {
     // label depends on the PRODUCT x1*x2 — a composed feature beats any raw
     val df = (0 until 1000).map { i =>
