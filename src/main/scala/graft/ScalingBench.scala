@@ -45,6 +45,11 @@ object ScalingBench {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      // SpillBench's controlled-experiment knob: shrinking execution
+      // memory at a FIXED heap separates "big heap" from "big in-memory
+      // sort runs" when attributing the GC cost the spill pair exposes
+      .config("spark.memory.fraction",
+        sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.6"))
       // shuffle files on tmpfs: the sandbox's single virtual disk serializes
       // concurrent shuffle writers and destroys scaling measurements
       .config("spark.local.dir", "/dev/shm/graft-spark-local")

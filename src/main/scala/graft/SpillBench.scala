@@ -46,23 +46,42 @@ object SpillBench {
           }
         }
       })
+      // zero-shuffle control brackets the measured run (the Bench /
+      // ScalingBench contamination-marker protocol): its time moves only
+      // with host load, so a slow flagship reading next to clean controls
+      // is a plan/JVM effect, not a co-tenant burst
+      def control(): Double = {
+        val t0 = System.nanoTime()
+        Bench.force(ScalingBench.controlJob(spark, nTurns))
+        (System.nanoTime() - t0) / 1e9
+      }
+      // listener events drain asynchronously (the bus flush API is
+      // private[spark]); poll until the task-time counter stops moving
+      def drain(): Unit = {
+        var prev = -1L
+        while (prev != runMs.get) { prev = runMs.get; Thread.sleep(1000) }
+      }
+      control() // warm the control's own codegen
+      val ctlBefore = control()
+      drain()   // control tasks must not pollute the flagship's metrics
+      val (gc0, run0, mem0, disk0) = (gcMs.get, runMs.get, memSpill.get, diskSpill.get)
+      peakExec.set(0L)
       val t0 = System.nanoTime()
       val chk = Bench.force(ScalingBench.flagshipJob(spark, nTurns))
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously (the bus flush API is
-      // private[spark]); poll until the spill counters stop moving
-      var prev = -1L
-      while (prev != memSpill.get + diskSpill.get) {
-        prev = memSpill.get + diskSpill.get
-        Thread.sleep(1000)
-      }
+      drain()
+      val (gc1, run1, mem1, disk1) = (gcMs.get, runMs.get, memSpill.get, diskSpill.get)
+      val ctlAfter = control()
       val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+      def f3(x: Double) = math.rint(x * 1000) / 1000.0
       val json =
         s"""{"n_turns":$nTurns,"cores":$cores,"heap_gb":${math.rint(heapGb * 10) / 10},
-           |"sec":${math.rint(sec * 1000) / 1000.0},"turns_per_sec":${(nTurns / sec).round},
-           |"memory_spilled_bytes":${memSpill.get},"disk_spilled_bytes":${diskSpill.get},
+           |"mem_fraction":${sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.6")},
+           |"sec":${f3(sec)},"turns_per_sec":${(nTurns / sec).round},
+           |"memory_spilled_bytes":${mem1 - mem0},"disk_spilled_bytes":${disk1 - disk0},
            |"peak_task_execution_memory":${peakExec.get},
-           |"task_gc_ms":${gcMs.get},"task_run_ms":${runMs.get},
+           |"task_gc_ms":${gc1 - gc0},"task_run_ms":${run1 - run0},
+           |"control_before_sec":${f3(ctlBefore)},"control_after_sec":${f3(ctlAfter)},
            |"checksum":"${java.lang.Long.toHexString(chk)}"}""".stripMargin.replace("\n", "")
       println(json)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n",
