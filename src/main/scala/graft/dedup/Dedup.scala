@@ -204,4 +204,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /** Connected components over a near-dup pair list — the cluster step
+    * every web-scale dedup pipeline runs after candidate generation (keep
+    * one representative per TRANSITIVELY-connected group, not per pair).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    * round is a groupBy + join on the edge list, converging in O(log²)
+    * rounds to a star forest, so no step ever materializes a component
+    * in one task and the largest cluster can exceed executor memory.
+    * Iteration is driver-bounded with a checksum fixpoint test;
+    * `localCheckpoint` truncates the per-round lineage (an iterative
+    * plan would otherwise double in depth every round).
+    *
+    * Returns one row per vertex: (id, component) with component = min
+    * vertex id of its component; vertices absent from `pairs` are
+    * singletons labelled by themselves.
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+      id: String = "doc_id", a: String = "a", b: String = "b",
+      maxIter: Int = 25): DataFrame = {
+    def und(e: DataFrame): DataFrame =
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+    // large-star: connect every strictly-larger neighbor of u to
+    // min(N(u) ∪ {u}) — preserves connectivity, shrinks tall chains
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = und(e)
+      val m = n.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("mn"))
+      n.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("mn").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    // small-star: connect every smaller neighbor of u (and u) to the min
+    // of the smaller neighborhood — flattens stars onto their root
+    def smallStar(e: DataFrame): DataFrame = {
+      val smaller = und(e).filter(col("v") < col("u"))
+      val m = smaller.groupBy("u").agg(min(col("v")).as("mn"))
+      smaller.join(m, "u")
+        .select(col("v").as("src"), col("mn").as("dst"))
+        .unionByName(m.select(col("u").as("src"), col("mn").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+    // bit_xor is order-insensitive and cannot overflow under ANSI mode
+    // (sum of hashes would); edges are distinct, so xor never cancels dups
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs
+      .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged state is a star forest: every non-root points at its root
+    val labels = edges.select(col("src").as(id), col("dst").as("component"))
+    vertices.select(col(id).cast("long").as(id))
+      .join(labels, Seq(id), "left")
+      .select(col(id), coalesce(col("component"), col(id)).as("component"))
+  }
 }

@@ -53,6 +53,34 @@ object TextQueries {
     "q_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Dedup.shingles(docs(s, dir)), threshold = 0.2)),
 
+    // Cluster step after candidate generation: connected components over
+    // the LSH pair list (large-star/small-star rounds), labels = min doc
+    // id per TRANSITIVE group. The oracle recomputes the same pairs in
+    // SQL and closes them with a recursive CTE — value-level parity for
+    // the whole pipeline dedup would actually run.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.lshCandidates(Dedup.minhashSignatures(Dedup.shingles(docs(s, dir)))),
+        docs(s, dir))
+        .select(col("doc_id"), col("component"))),
+
+    // PII masking with deterministically PLANTED pii (the corpus has
+    // none): every third doc gets an email + IPv4 + phone derived from
+    // its id appended on BOTH sides, then the row-local redaction chain
+    // must strip them byte-for-byte.
+    "q_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(
+          col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      TextFeatures.redactPii(planted)
+        .select(col("doc_id"), col("text").as("text_redacted"))
+    }),
+
     "q_rep_signals" -> ((s, dir) =>
       TextFeatures.repetitionSignals(docs(s, dir))),
 
@@ -217,6 +245,46 @@ object TextQueries {
          |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |FROM banded l JOIN banded r
          |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin
+    },
+
+    "q_dedup_clusters" -> {
+      val bandRows = (0 until 4).map { b =>
+        val sig = (0 until 4).map(r => s"CAST(mh_${b * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""${minhashSql(cteOnly = true)},
+         |banded AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM banded l JOIN banded r
+         |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+         |und AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT u AS s, v AS t FROM und
+         |  UNION
+         |  SELECT r.s, u.v FROM reach r JOIN und u ON r.t = u.u),
+         |comp AS (SELECT s AS doc_id, LEAST(MIN(t), s) AS component
+         |         FROM reach GROUP BY s)
+         |SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+         |FROM documents d LEFT JOIN comp c USING (doc_id)"""
+        .stripMargin.replaceFirst("WITH ", "WITH RECURSIVE ")
+    },
+
+    "q_redact" -> {
+      val redacted = TextFeatures.piiPatterns.foldLeft("text") {
+        case (expr, (p, r)) => s"regexp_replace($expr, '$p', '$r', 'g')"
+      }
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text
+         |      || ' contact u' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |      || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id, $redacted AS text_redacted FROM planted""".stripMargin
     },
 
     "q_jaccard" ->

@@ -207,4 +207,22 @@ object TextFeatures {
     }.reduce[Column](_ + _)
     agg.select(col(id), sig.as("simhash"))
   }
+
+  /** PII masking — the redaction pass a training-data pipeline runs before
+    * anything else sees the text. Entirely row-local regexp_replace chain
+    * (codegen'd, no shuffle, no UDF); replacement order is fixed
+    * (email → IPv4 → phone) and the patterns avoid every construct RE2
+    * lacks (no backrefs, no lookaround), so any RE2-based engine — and
+    * the DuckDB oracle — reproduces the output byte-for-byte.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("\\+[0-9][0-9-]{6,}", "<PHONE>"))
+
+  def redactPii(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.withColumn(text,
+      piiPatterns.foldLeft(col(text)) { case (c, (p, r)) =>
+        regexp_replace(c, p, r)
+      })
 }

@@ -53,4 +53,24 @@ class DedupSpec extends SparkSpec {
     assert(sigs.length == 2)
     assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1))
   }
+
+  test("connectedComponents: transitive closure over pairs, singletons, long chains") {
+    def cc(pairs: Seq[(Long, Long)], n: Long): Map[Long, Long] = {
+      val p = pairs.toDF("a", "b")
+      val v = (1L to n).toDF("doc_id")
+      Dedup.connectedComponents(p, v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // two components + two singletons; transitivity across pairs (1-2, 2-3)
+    assert(cc(Seq((1L, 2L), (2L, 3L), (5L, 6L)), 7L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a 30-node path graph — worst case for label propagation, needs the
+    // star rounds to contract; all nodes must land on the chain min
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    assert(cc(chain, 30L).values.toSet == Set(1L))
+    // edge direction and duplication must not matter
+    assert(cc(Seq((9L, 2L), (2L, 9L), (9L, 2L)), 9L)(9L) == 2L)
+    // empty edge set: everything is a singleton
+    assert(cc(Nil, 3L) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }
