@@ -84,6 +84,21 @@ object TextQueries {
     "q_rep_signals" -> ((s, dir) =>
       TextFeatures.repetitionSignals(docs(s, dir))),
 
+    // Data-mixing recipe: per-language quota sampling as a row-local
+    // portable-hash filter. The oracle replays the exact per-row coin in
+    // SQL, so the gate is decision-level parity, not a rate check.
+    "q_mix_sample" -> ((s, dir) =>
+      graft.transforms.Mixing.stratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFrac = 0.1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Next-fit sequence packing of the n_chars weight stream into
+    // 8000-unit bins over 8 id-sharded streams.
+    "q_pack" -> ((s, dir) =>
+      graft.transforms.Mixing.packSequences(docs(s, dir), "doc_id", "n_chars",
+        budget = 8000L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("offset"), col("bin"))),
+
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.attachBinary(docs(s, dir))).toDF
         .select(col("doc_id"), col("media_type"), col("byte_len"),
@@ -111,6 +126,17 @@ object TextQueries {
   private val P = TextFeatures.P
 
   val oracles: Map[String, String] = Map(
+    "q_mix_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ((((doc_id % 2147483648) * 2654435761 + 1013904223) % 4294967296) % 1000000)
+        |      < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END)""".stripMargin,
+
+    "q_pack" ->
+      """SELECT doc_id, doc_id % 8 AS shard,
+        |       SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - n_chars AS offset,
+        |       CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - n_chars) / 8000.0) AS BIGINT) AS bin
+        |FROM documents""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
         |       CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
