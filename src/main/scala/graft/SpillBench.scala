@@ -76,7 +76,7 @@ object SpillBench {
       def f3(x: Double) = math.rint(x * 1000) / 1000.0
       val json =
         s"""{"n_turns":$nTurns,"cores":$cores,"heap_gb":${math.rint(heapGb * 10) / 10},
-           |"mem_fraction":${sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.6")},
+           |"mem_fraction":${sys.env.get("SPARK_GRAFT_MEM_FRACTION").map(_.toDouble).getOrElse(0.6)},
            |"sec":${f3(sec)},"turns_per_sec":${(nTurns / sec).round},
            |"memory_spilled_bytes":${mem1 - mem0},"disk_spilled_bytes":${disk1 - disk0},
            |"peak_task_execution_memory":${peakExec.get},

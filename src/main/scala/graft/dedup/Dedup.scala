@@ -214,7 +214,9 @@ object Dedup {
     * round is a groupBy + join on the edge list, converging in O(log²)
     * rounds to a star forest, so no step ever materializes a component
     * in one task and the largest cluster can exceed executor memory.
-    * Iteration is driver-bounded with a checksum fixpoint test;
+    * Iteration is driver-bounded with a checksum-screened EXACT fixpoint
+    * test (anti-join confirmation on checksum match, so a hash collision
+    * can never be declared convergence);
     * `localCheckpoint` truncates the per-round lineage (an iterative
     * plan would otherwise double in depth every round).
     *
@@ -254,16 +256,26 @@ object Dedup {
       val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var edges = pairs
+    // exact set equality (both sides are distinct and equal-count when the
+    // checksums match, so one anti-join direction suffices) — the cheap
+    // checksum screens every round, and only a checksum MATCH pays for this
+    // exact confirmation, so a checksum collision can never silently
+    // mislabel clusters: a colliding-but-different edge set fails here and
+    // iteration continues
+    def sameEdges(cur: DataFrame, prv: DataFrame): Boolean =
+      cur.exceptAll(prv).isEmpty
+    var prevEdges = pairs
       .select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var edges = prevEdges
     var prev = checksum(edges)
     var converged = edges.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
+      prevEdges = edges
       edges = smallStar(largeStar(edges)).localCheckpoint(true)
       val cur = checksum(edges)
-      converged = cur == prev
+      converged = cur == prev && sameEdges(edges, prevEdges)
       prev = cur
       it += 1
     }

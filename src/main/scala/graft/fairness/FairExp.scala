@@ -42,16 +42,23 @@ object FairExp {
         admissible.map(col) :+ col(labelCol).cast("double").as("label") :+
         isProtected.as("__prot") :+ col("__test")): _*)
       .na.drop(features :+ "label")
-    val assembler = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
-    val model = new LogisticRegression().setMaxIter(50).setTol(1e-6)
-      .fit(assembler.transform(base.filter(!col("__test"))))
-    val pred = model.transform(assembler.transform(base.filter(col("__test"))))
-      .withColumn("__p", element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
-    val f1 = new MulticlassClassificationEvaluator()
-      .setMetricName("f1").setLabelCol("label").evaluate(pred)
-    val rod = FairMetrics.rod(pred, col("__p"), col("__prot"), admissible)
-      .head().getDouble(0)
-    Eval(features, f1, rod)
+      // cache: the train fit, the F1 evaluation and the ROD aggregation are
+      // three independent actions over this frame — uncached, each replays
+      // the scan+derive lineage (same rows, same partitions, so every fitted
+      // float is unchanged)
+      .cache()
+    try {
+      val assembler = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
+      val model = new LogisticRegression().setMaxIter(50).setTol(1e-6)
+        .fit(assembler.transform(base.filter(!col("__test"))))
+      val pred = model.transform(assembler.transform(base.filter(col("__test"))))
+        .withColumn("__p", element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+      val f1 = new MulticlassClassificationEvaluator()
+        .setMetricName("f1").setLabelCol("label").evaluate(pred)
+      val rod = FairMetrics.rod(pred, col("__p"), col("__prot"), admissible)
+        .head().getDouble(0)
+      Eval(features, f1, rod)
+    } finally { base.unpersist(); () }
   }
 
   /** @param featureCols candidate features in ascending complexity order
@@ -80,14 +87,22 @@ object FairExp {
       val e = eval(cand)
       if (e.f1 > bestF1) {
         selected = cand; bestF1 = e.f1
-        // floating elimination: drop any earlier feature whose removal improves F1
+        // floating elimination: drop any earlier feature whose removal improves F1.
+        // The sequential walk stops at the first improving removal; the
+        // candidate evaluations are independent, so they run CONCURRENTLY
+        // (FitPool, the reference n_jobs knob) and the decision walk replays
+        // over the results — only evaluations the sequential loop would have
+        // reached are appended to `visited`, so the recorded trajectory (and
+        // the Pareto front over it) is identical
         var improved = true
         while (improved && selected.size > 1) {
           improved = false
-          selected.dropRight(1).foreach { g =>
+          val cands = selected.dropRight(1).map(g => selected.filterNot(_ == g))
+          val evs = graft.search.FitPool.map(df.sparkSession, "fairexp-float", cands)(
+            fs => evaluate(df, fs, labelCol, isProtected, admissible))
+          cands.zip(evs).foreach { case (without, e2) =>
             if (!improved) {
-              val without = selected.filterNot(_ == g)
-              val e2 = eval(without)
+              visited += e2
               if (e2.f1 > bestF1) { selected = without; bestF1 = e2.f1; improved = true }
             }
           }

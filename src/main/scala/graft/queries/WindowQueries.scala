@@ -258,8 +258,24 @@ object WindowQueries {
       batches: Seq[Seq[graft.transcripts.Turn]],
       mode: String)(
       transform: org.apache.spark.sql.Dataset[graft.transcripts.Turn] => DataFrame): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx = s.sqlContext
+    // Scale-adaptive state partitioning (guide §2: derive partitioning from
+    // input size, never a constant): a stateful streaming operator creates
+    // one state-store instance per shuffle partition and pays its commit
+    // overhead EVERY micro-batch, so a gate-sized stream on the session
+    // default (=cores) spends most of each batch committing empty stores.
+    // Target ~20k rows per state partition, capped at the session default
+    // so a large input keeps the configured parallelism. The per-row values
+    // are partition-count-invariant (exact long aggregates, per-key state
+    // transitions, row identity), spec-held by the batch-parity oracles.
+    val defaultParts = s.sessionState.conf.numShufflePartitions
+    val rows = batches.map(_.size.toLong).sum
+    val parts = math.min(defaultParts.toLong, rows / 20000L + 1L).toInt
+    // a cloned session scopes the partition override to this stream; the
+    // parent session's conf (FROZEN by the bench harness) is untouched
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.transcripts.Turn]
     val qn = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -270,7 +286,7 @@ object WindowQueries {
       q.processAllAvailable()
     }
     q.stop()
-    s.table(qn)
+    ss.table(qn)
   }
 
   /** Event-time-sorted transcript turns, split in half — the standard

@@ -192,16 +192,36 @@ final class Cdfc(
     // parent AUCs so gains compare like with like)
     val lrScores = collection.mutable.HashMap[String, Double]()
     lazy val dfLr = df.withColumn("__cdfc_label", label)
-    def lrAucOf(e: FeatureExpr): Double = {
-      // keep EVERY input column in the fold matrix: the fold hash needs
-      // full-row entropy, or a low-cardinality candidate (one-hot, group
-      // mean over few keys) collapses whole value-groups into one fold
-      val mat = LayerBuilder.select(dfLr, dfLr.columns.toSeq, Seq("__lr_feat" -> e), fit)
-      val auc = LrScorer.score(mat, Seq("__lr_feat"), "__cdfc_label", cfg.lrFolds, cfg.lrGrid).auc
-      // stored ROUNDED (1e-9): every downstream comparison (epsilon gate,
-      // champion maxBy, AICc per-class pick) is tie-sensitive, and lbfgs
-      // AUCs wobble by ULPs run-to-run (task-completion-ordered reduction)
-      math.rint(auc * 1e9) / 1e9
+    /** Batched LR oracle for a layer's to-score set: ONE wide
+      * `LayerBuilder.select` + cache holds every candidate's feature column,
+      * and each fit projects `dfLr.columns :+ its own feature as __lr_feat`
+      * — exactly the per-candidate matrix the old one-select-per-candidate
+      * path built (same columns, same values), so the full-row fold hash and
+      * every fitted float are unchanged, while the base lineage (scan +
+      * feature eval) is replayed once per LAYER instead of once per fit.
+      *
+      * Keep EVERY input column in the fold matrix: the fold hash needs
+      * full-row entropy, or a low-cardinality candidate (one-hot, group
+      * mean over few keys) collapses whole value-groups into one fold.
+      */
+    def lrAucBatch(es: Seq[FeatureExpr]): Seq[(String, Double)] = {
+      if (es.isEmpty) return Seq.empty
+      val named = es.zipWithIndex.map { case (e, i) => s"__lr_c$i" -> e }
+      val matAll = LayerBuilder.select(dfLr, dfLr.columns.toSeq, named, fit).cache()
+      try {
+        matAll.count() // materialize once, before the concurrent fits race
+        // concurrent fits (FitPool); insert in task order -> deterministic
+        FitPool.map(df.sparkSession, "cdfc-lr", named) { case (n, e) =>
+          val mat = matAll.select(dfLr.columns.map(col) :+ col(n).as("__lr_feat"): _*)
+          val auc = LrScorer.score(mat, Seq("__lr_feat"), "__cdfc_label",
+            cfg.lrFolds, cfg.lrGrid).auc
+          // stored ROUNDED (1e-9): every downstream comparison (epsilon
+          // gate, champion maxBy, AICc per-class pick) is tie-sensitive, and
+          // lbfgs AUCs wobble by ULPs run-to-run (task-completion-ordered
+          // reduction)
+          Canon.key(e) -> math.rint(auc * 1e9) / 1e9
+        }
+      } finally { matAll.unpersist(); () }
     }
     // parents whose AUC participates in the LR gain: the group KEY of a
     // GroupByThen is not a feature, and a categorical raw column (a one-hot
@@ -220,8 +240,7 @@ final class Cdfc(
       val top = layerNew.sortBy { case (_, s) => (-s.score, s.key) }.take(cfg.lrTopK)
       val need = (top.map(_._2.expr) ++ top.flatMap(t => lrGainParents(t._2.expr)))
         .distinctBy(Canon.key).filterNot(e => lrScores.contains(Canon.key(e)))
-      // concurrent fits (FitPool); insert in task order -> deterministic
-      lrScores ++= FitPool.map(df.sparkSession, "cdfc-lr", need)(e => Canon.key(e) -> lrAucOf(e))
+      lrScores ++= lrAucBatch(need)
       top.foreach { case (i, s) =>
         val auc = lrScores(s.key)
         val isRawOrOneHot = s.expr.isInstanceOf[RawCol] ||

@@ -26,18 +26,12 @@ object Mdlp {
   /** Fit cut points on (value, label). Returns ascending cuts; empty when
     * MDLP rejects every cut (the reference raises "MDLP discretization
     * failed!" — callers drop the candidate; in the search the resulting
-    * constant column dies in the constant prune).
+    * constant column dies in the constant prune). Cardinality-guarded and
+    * quantile-routed like [[fitCutsBatch]] (it delegates there).
     */
   def fitCuts(df: DataFrame, value: Column, label: Column,
-      maxDistinct: Int = 100000): IndexedSeq[Double] = {
-    val hist = df
-      .filter(value.isNotNull && !isnan(value.cast("double")) && label.isNotNull)
-      .groupBy(value.cast("double").as("v"), label.cast("string").as("y"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-    cutsFromHistogram(
-      hist.map(r => (r.getDouble(0), r.getString(1), r.getLong(2))), maxDistinct)
-  }
+      maxDistinct: Int = 100000): IndexedSeq[Double] =
+    fitCutsBatch(df, Seq("__single" -> value), label, maxDistinct)("__single")
 
   /** The Fayyad-Irani recursion proper, over sorted distinct values and
     * per-value class counts.
@@ -103,11 +97,21 @@ object Mdlp {
     * rows are exploded as (node, value) pairs so all per-node histograms
     * come back from a single groupBy, instead of one job per MDLP node
     * (the per-layer job count is what dominates search latency).
+    *
+    * Scale guard (IN-PLAN, before any driver collect): the histogram is
+    * cached DISTRIBUTED and a per-node distinct-value count decides each
+    * node's route. A node within `maxDistinct` collects its exact histogram
+    * (unchanged values); a node above it never reaches the driver raw —
+    * it is pre-bucketed into at most `min(maxDistinct, 2048)` weighted
+    * quantile bins (pd.qcut semantics, computed FROM the cached histogram,
+    * no extra scan of `df`) and MDLP runs over bucket representatives, with
+    * accepted cuts mapped back to real value midpoints. A genuinely
+    * continuous column at 100x scale therefore degrades to quantile-MDLP
+    * instead of blowing up the driver on collect.
     */
   def fitCutsBatch(df: DataFrame, nodes: Seq[(String, Column)], label: Column,
       maxDistinct: Int = 100000): Map[String, IndexedSeq[Double]] = {
     if (nodes.isEmpty) return Map.empty
-    if (nodes.size == 1) return Map(nodes.head._1 -> fitCuts(df, nodes.head._2, label, maxDistinct))
     val pairs = nodes.zipWithIndex.map { case ((_, c), i) =>
       struct(lit(i).as("nid"), c.cast("double").as("v"))
     }
@@ -118,13 +122,71 @@ object Mdlp {
       .filter(col("v").isNotNull && !isnan(col("v")))
       .groupBy(col("nid"), col("v"), col("y"))
       .agg(count(lit(1)).as("n"))
+      .cache()
+    try {
+      val dv = hist.groupBy(col("nid")).agg(count_distinct(col("v")).as("d"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val (small, big) = nodes.zipWithIndex.partition { case (_, i) =>
+        dv.getOrElse(i, 0L) <= maxDistinct
+      }
+      val exact: Map[String, IndexedSeq[Double]] =
+        if (small.isEmpty) Map.empty
+        else {
+          val keep = small.map(_._2)
+          val rows = (if (big.isEmpty) hist
+                      else hist.filter(col("nid").isin(keep: _*))).collect()
+          val byNode = rows.groupBy(_.getInt(0))
+          small.map { case ((key, _), i) =>
+            key -> cutsFromHistogram(byNode.getOrElse(i, Array.empty)
+              .map(r => (r.getDouble(1), r.getString(2), r.getLong(3))), maxDistinct)
+          }.toMap
+        }
+      val bucketed: Map[String, IndexedSeq[Double]] = big.map { case ((key, _), i) =>
+        key -> quantileBucketedCuts(hist.filter(col("nid") === i), maxDistinct)
+      }.toMap
+      exact ++ bucketed
+    } finally { hist.unpersist(); () }
+  }
+
+  /** The over-bound route of [[fitCutsBatch]]: weighted quantile bins from
+    * the (v, y, n) histogram of ONE node, MDLP over bucket indices, cuts
+    * mapped back to midpoints between adjacent occupied buckets' real
+    * extremes (so `binColumn`'s `v > cut` classifies every data row exactly
+    * as the index-space recursion decided).
+    */
+  private def quantileBucketedCuts(hist: DataFrame, maxDistinct: Int): IndexedSeq[Double] = {
+    val bins = math.min(maxDistinct, 2048)
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val bRow = hist.agg(
+      percentile(col("v"), typedLit(probs), col("n")).as("bounds")).head()
+    if (bRow.isNullAt(0)) return IndexedSeq.empty
+    val bounds = bRow.getSeq[Double](0).distinct.sorted
+    if (bounds.isEmpty) return IndexedSeq.empty
+    val splits = (Double.NegativeInfinity +: bounds :+ Double.PositiveInfinity).toArray
+    val bz = new org.apache.spark.ml.feature.Bucketizer()
+      .setSplits(splits).setInputCol("v").setOutputCol("__b")
+    val h2 = bz.transform(hist.select(col("v"), col("y"), col("n")))
+      .groupBy(col("__b"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        collect_list(struct(col("y"), col("n"))).as("ys"))
       .collect()
-    val byNode = hist.groupBy(_.getInt(0))
-    nodes.zipWithIndex.map { case ((key, _), i) =>
-      val rows = byNode.getOrElse(i, Array.empty)
-      key -> cutsFromHistogram(
-        rows.map(r => (r.getDouble(1), r.getString(2), r.getLong(3))), maxDistinct)
-    }.toMap
+    val byBucket = h2.map { r =>
+      val b = r.getDouble(0)
+      val ys = r.getSeq[org.apache.spark.sql.Row](3)
+        .groupBy(_.getString(0)).map { case (y, rs) => (y, rs.map(_.getLong(1)).sum) }
+      (b, r.getDouble(1), r.getDouble(2), ys)
+    }.sortBy(_._1)
+    val idxHist = byBucket.flatMap { case (b, _, _, ys) =>
+      ys.map { case (y, n) => (b, y, n) }
+    }
+    val idxCuts = cutsFromHistogram(idxHist, maxDistinct = bins + 1)
+    val occupied = byBucket.map(t => t._1 -> (t._2, t._3)).toMap
+    val occIdx = byBucket.map(_._1).sorted
+    idxCuts.map { c =>
+      val below = occIdx.filter(_ < c).last
+      val above = occIdx.filter(_ > c).head
+      (occupied(below)._2 + occupied(above)._1) / 2.0
+    }
   }
 
   /** Driver-side MDLP recursion over a (value, class, count) histogram. */

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (`array<float>`).
   *
   *  - [[cosineTopK]]: brute-force cosine top-k — the correctness baseline.
-  *    Dot products via higher-order functions (zip_with + aggregate), fully
-  *    codegen-adjacent, no UDFs.
+  *    Dot products via the codegen'd [[graft.exprs.ArrayKernels]] (same
+  *    fold order as the HOF formulation they replaced), no UDFs.
   *  - [[lshTopK]]: random-hyperplane LSH bucketing — the scale path. Each
   *    vector gets a `nBits` sign signature from deterministic pseudo-random
   *    hyperplanes; only same-bucket pairs are scored. Bucketing turns the
@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  // Codegen'd kernels ([[graft.exprs.ArrayKernels]]) — value-identical
+  // (same left-to-right fold, same null semantics) to the HOF chains
+  // `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` they replace; the HOF
+  // forms evaluate their lambdas interpreted per element, which dominated
+  // every candidate-scoring join in this module.
+  private def dot(a: Column, b: Column): Column = graft.exprs.ArrayKernels.dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(graft.exprs.ArrayKernels.dot(a, a))
 
   def withNorm(embeddings: DataFrame, id: String = "vec_id",
       vec: String = "embedding"): DataFrame =
@@ -56,15 +59,11 @@ object Ann {
         col6(col("cos")).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim):
-    * integer hash folded to [-0.5, 0.5). Portable to SQL.
-    */
-  private def plane(bit: Int, dim: Column): Column =
-    (pmod((dim + 1) * lit(2654435761L) + lit(bit.toLong) * lit(40503L), lit(1009L))
-      .cast("double") / 1009.0) - 0.5
-
-  /** Driver-side value of [[plane]] — used by the q_ann_lsh oracle generator
-    * to embed the identical hyperplanes as SQL literals.
+  /** Driver-side value of the deterministic pseudo-random hyperplane
+    * component for (bit, dim) — integer hash folded to [-0.5, 0.5), the
+    * same arithmetic [[graft.exprs.LshProjection]] runs in codegen. Used by
+    * the q_ann_lsh oracle generator to embed the identical hyperplanes as
+    * SQL literals.
     */
   def planeValue(bit: Int, dim: Int): Double =
     (((dim + 1).toLong * 2654435761L + bit.toLong * 40503L) % 1009L).toDouble / 1009.0 - 0.5
@@ -74,10 +73,11 @@ object Ann {
     */
   def lshBucket(vec: Column, nBits: Int = 8, table: Int = 0): Column =
     (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * plane(table * 64 + b, i)),
-        lit(0.0d), (acc, x) => acc + x)
+      // codegen'd projection — identical integer-then-double plane
+      // arithmetic and fold order as the zip_with/sequence HOF chain
+      // (see [[graft.exprs.LshProjection]]; [[planeValue]] stays the
+      // oracle-literal source of truth for the same formula)
+      val proj = graft.exprs.ArrayKernels.lshProj(vec, table * 64 + b)
       when(proj > 0, lit(1L << b)).otherwise(0L)
     }.reduce[Column](_ + _)
 
@@ -197,20 +197,26 @@ object Ann {
     }
     // naive sequential-fold distances for BOTH assignment and probing
     // (MLlib's transform uses fastSquaredDistance, whose rounding is not
-    // reproducible in SQL; the argmin with (d, cell) tie-break is)
+    // reproducible in SQL; the argmin with (d, cell) tie-break is) —
+    // codegen'd kernel, same fold order as the zip_with chain it replaces
     def dist2(c: Array[Double]) =
-      aggregate(zip_with(col(vec), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
+      graft.exprs.ArrayKernels.sqDist(col(vec), typedLit(c.toSeq))
     val cellDists = array(centers.zipWithIndex.map { case (c, i) =>
       struct(dist2(c).as("d"), lit(i).as("cell"))
     }: _*)
-    val assigned = e
+    // materialize the assignment ONCE: probes and corpus are two branches
+    // over the same `assigned` subtree, and without a snapshot each branch
+    // re-evaluates all nlist distance folds + the struct sort per row
+    // (guide §2.4: compute once, reuse). At real scale the caller persists
+    // the assigned corpus in its lake exactly like this.
+    val assigned = graft.search.FeatureConstructor.snapshot(e
       .withColumn("__sorted", array_sort(cellDists))
       .withColumn("cell", col("__sorted").getItem(0).getField("cell"))
+      .withColumn("__probe_cells", slice(col("__sorted"), 1, nprobe).getField("cell"))
+      .select(col(id), col(vec), col("nrm"), col("cell"), col("__probe_cells")))
     val probes = assigned
-      .withColumn("__probe", slice(col("__sorted"), 1, nprobe))
       .select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"),
-        explode(col("__probe.cell")).as("cell"))
+        explode(col("__probe_cells")).as("cell"))
     val corpus = assigned.select(col(id).as("nid"), col(vec).as("cv"),
       col("nrm").as("cn"), col("cell"))
     val out = probes.join(corpus, Seq("cell"))

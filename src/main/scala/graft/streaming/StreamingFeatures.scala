@@ -67,6 +67,13 @@ object StreamingFeatures {
     * horizon's key cardinality, not the stream's. A duplicate arriving
     * after its key was evicted is re-emitted — the documented watermark
     * contract, traded deliberately for bounded state.
+    *
+    * Exactness caveat: unlike `Dedup.exactVerified`, there is no in-plan
+    * blob re-verification here, so two DISTINCT texts colliding on the
+    * 64-bit fingerprint within one horizon silently collapse. Collision
+    * odds are birthday-bounded by the horizon's key cardinality k:
+    * ~k^2 / 2^65 (~3e-7 at k = 10^6; at billions of in-horizon keys, key
+    * on a wider fingerprint, e.g. two independent hashes concatenated).
     */
   def dedupWithinWatermark(turns: DataFrame, horizon: String = "1 hour"): DataFrame =
     turns

@@ -23,6 +23,12 @@ object Mixing {
     * 2^32) — plain 64-bit arithmetic (max intermediate ~5.7e18 < 2^63), so
     * any ANSI SQL engine computes the identical value. NOT cryptographic;
     * it only needs to be uncorrelated with the id sequence.
+    *
+    * Portability caveat: Spark's `pmod` is non-negative while plain SQL `%`
+    * is sign-of-dividend, so the "identical in any engine" claim holds for
+    * NON-NEGATIVE ids only; an oracle replaying the decision for signed ids
+    * must spell pmod as `((x % m) + m) % m`. Corpus doc ids here are
+    * non-negative by construction.
     */
   def portableCoin(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L)
@@ -62,6 +68,10 @@ object Mixing {
     * parallelism and per-task sort size — at 100 TB pick shards so each
     * shard's (id, weight) pairs fit a task (the window needs only those two
     * columns; text stays out of the exchange).
+    *
+    * Requires UNIQUE ids per shard (corpus doc ids are): the running-sum
+    * window's default RANGE frame would fold all rows tied on `idCol` into
+    * one offset, which is not a valid packing stream.
     */
   def packSequences(df: DataFrame, idCol: String, weightCol: String,
       budget: Long, shards: Int): DataFrame = {
@@ -70,6 +80,8 @@ object Mixing {
     df.withColumn("shard", pmod(col(idCol).cast("long"), lit(shards.toLong)))
       .withColumn("offset",
         sum(col(weightCol).cast("long")).over(w) - col(weightCol).cast("long"))
-      .withColumn("bin", floor(col("offset") / lit(budget.toDouble)).cast("long"))
+      // integer floor-div (offset >= 0, budget > 0): the double-division
+      // formulation misbins once a cumulative offset passes 2^53
+      .withColumn("bin", expr(s"offset div $budget"))
   }
 }

@@ -36,4 +36,40 @@ class FairExpSpec extends SparkSpec {
     val e = FairExp.evaluate(data, Seq("leak"), "y", col("prot"), Seq("ctx"))
     assert(e.f1 > 0.4 && !e.rod.isNaN && e.rod <= 0.0, e.toString)
   }
+
+  test("speculative floating elimination visits exactly the sequential trajectory") {
+    // reference clone of the ORIGINAL sequential phase-1 loop (the r6
+    // optimization evaluates a floating round's leave-one-out candidates
+    // concurrently but must record the identical decision walk)
+    val df = data
+    val featureCols = Seq("good1", "good2", "junk")
+    val visited = collection.mutable.ArrayBuffer[Seq[String]]()
+    var selected = Vector.empty[String]
+    var bestF1 = Double.NegativeInfinity
+    featureCols.foreach { f =>
+      val cand = selected :+ f
+      visited += cand
+      val e = FairExp.evaluate(df, cand, "y", col("prot"), Seq("ctx"))
+      if (e.f1 > bestF1) {
+        selected = cand; bestF1 = e.f1
+        var improved = true
+        while (improved && selected.size > 1) {
+          improved = false
+          selected.dropRight(1).foreach { g =>
+            if (!improved) {
+              val without = selected.filterNot(_ == g)
+              visited += without
+              val e2 = FairExp.evaluate(df, without, "y", col("prot"), Seq("ctx"))
+              if (e2.f1 > bestF1) { selected = without; bestF1 = e2.f1; improved = true }
+            }
+          }
+        }
+      }
+    }
+    val res = FairExp.run(df, featureCols, "y", col("prot"), Seq("ctx"))
+    // phase 1's trajectory is a prefix of res.visited (phase 2 appends after)
+    val phase1 = res.visited.take(visited.size).map(_.features.toList)
+    assert(phase1 == visited.map(_.toList).toSeq,
+      s"speculative walk diverged:\n got $phase1\n exp ${visited.toSeq}")
+  }
 }
