@@ -46,23 +46,29 @@ object Checkpoint {
   def save(spark: SparkSession, dir: String, st: SearchState): Unit = {
     import spark.implicits._
     val d = layerDir(dir, st.layer)
-    st.survivors.toDS().write.mode(SaveMode.Overwrite).parquet(s"$d/survivors.parquet")
-    st.seen.toSeq.toDS().toDF("key")
-      .join(st.scores.toSeq.toDF("key", "score"), Seq("key"), "left")
-      .write.mode(SaveMode.Overwrite).parquet(s"$d/seen.parquet")
-    st.fingerprints.toSeq.toDF("fp")
-      .write.mode(SaveMode.Overwrite).parquet(s"$d/fingerprints.parquet")
-    st.fit.m.toSeq.map { case (k, v) => (k, v.toArray) }.toDF("key", "stats")
-      .write.mode(SaveMode.Overwrite).parquet(s"$d/fit.parquet")
-    st.profiles.values.toSeq.toDS()
-      .write.mode(SaveMode.Overwrite).parquet(s"$d/profiles.parquet")
-    if (st.lrAuc.nonEmpty)
-      st.lrAuc.toSeq.toDF("key", "auc")
-        .write.mode(SaveMode.Overwrite).parquet(s"$d/lrauc.parquet")
+    // the five state files are independent — write them CONCURRENTLY
+    // (each is a tiny local-relation write whose cost is job + commit
+    // latency, not data); the manifest commit marker still goes LAST, so
+    // the manifest-gated resume contract is unchanged
+    graft.search.FitPool.all[Unit](spark, "ckpt")(
+      () => st.survivors.toDS().write.mode(SaveMode.Overwrite).parquet(s"$d/survivors.parquet"),
+      () => st.seen.toSeq.toDS().toDF("key")
+        .join(st.scores.toSeq.toDF("key", "score"), Seq("key"), "left")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/seen.parquet"),
+      () => st.fingerprints.toSeq.toDF("fp")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/fingerprints.parquet"),
+      () => st.fit.m.toSeq.map { case (k, v) => (k, v.toArray) }.toDF("key", "stats")
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/fit.parquet"),
+      () => st.profiles.values.toSeq.toDS()
+        .write.mode(SaveMode.Overwrite).parquet(s"$d/profiles.parquet"),
+      () => if (st.lrAuc.nonEmpty)
+        st.lrAuc.toSeq.toDF("key", "auc")
+          .write.mode(SaveMode.Overwrite).parquet(s"$d/lrauc.parquet"))
     // commit marker last
     Files.createDirectories(Paths.get(d))
     Files.writeString(Paths.get(s"$d/manifest.json"),
       s"""{"layer": ${st.layer}, "survivors": ${st.survivors.size}, "seen": ${st.seen.size}, "complete": true}""")
+    ()
   }
 
   /** Newest committed layer <= maxLayer, if any. */

@@ -72,10 +72,31 @@ object Fitter {
         }
         stats = stats ++ FitStats(modeBatch(fitDf, nodes))
       }
-      if (ready.isEmpty) { pending = pending -- mdlpReady.keys -- modeReady.keys }
+      // exact percentile/median fits (DiscretizeQ, ImputeMedian) are
+      // ImperativeAggregates whose per-row update loop dominates on
+      // few-partition scans; their results are EXACTLY partition-invariant
+      // (count merge + deterministic sort), so they run as a separate agg
+      // over the pruned child columns spread to the session's parallelism.
+      // Order-SENSITIVE float aggregates (avg/stddev) stay on the caller's
+      // partitioning, keeping every previously-emitted float bit-identical.
+      val (pctlReady, plainReady) = ready.partition(_._2.op match {
+        case UnaryOp.DiscretizeQ(_) | UnaryOp.ImputeMedian => true
+        case _ => false
+      })
+      if (pctlReady.nonEmpty) {
+        val nodes = pctlReady.toSeq.map { case (key, u) =>
+          key -> Lower.toColumn(u.child, stats, raw).cast("double")
+        }
+        stats = stats ++ FitStats(percentileBatch(fitDf, nodes.map { case (k, c) =>
+          (k, c, pending(k).op) }))
+      }
+      if (plainReady.isEmpty) {
+        pending = pending -- readyAll.keys
+      }
       else {
+      val ready2 = plainReady
       val aggsAndDecode: Seq[(String, Seq[Column], org.apache.spark.sql.Row => IndexedSeq[Double])] =
-        ready.toSeq.map { case (key, u) =>
+        ready2.toSeq.map { case (key, u) =>
           val c = Lower.toColumn(u.child, stats, raw).cast("double")
           val p = s"s${key.hashCode.toHexString}"
           def dbl(row: org.apache.spark.sql.Row, f: String): Double = {
@@ -115,6 +136,41 @@ object Fitter {
     }
     require(pending.isEmpty, s"unfitted nodes after ${guard} passes: ${pending.keys}")
     stats
+  }
+
+  /** Batched exact percentile/median fits (DiscretizeQ / ImputeMedian) over
+    * the pruned child columns, spread to the session's parallelism — the
+    * exact `percentile`/`median` results are partition-invariant (count
+    * merge + one deterministic sort), so the fitted values are identical to
+    * the unspread agg while the per-row update loop parallelizes.
+    */
+  private def percentileBatch(df: DataFrame,
+      nodes: Seq[(String, Column, UnaryOp)]): Map[String, IndexedSeq[Double]] = {
+    if (nodes.isEmpty) return Map.empty
+    val spark = df.sparkSession
+    val proj = df
+      .select(nodes.zipWithIndex.map { case ((_, c, _), i) => c.as(s"__fit_$i") }: _*)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val aggs = nodes.zipWithIndex.map { case ((_, _, op), i) =>
+      op match {
+        case UnaryOp.ImputeMedian => median(col(s"__fit_$i")).as(s"__a_$i")
+        case UnaryOp.DiscretizeQ(b) =>
+          val qs = (1 until b).map(_.toDouble / b)
+          percentile(col(s"__fit_$i"), typedLit(qs)).as(s"__a_$i")
+        case other => throw new IllegalStateException(s"unexpected percentile op $other")
+      }
+    }
+    val row = proj.agg(aggs.head, aggs.tail: _*).head()
+    nodes.zipWithIndex.map { case ((k, _, op), i) =>
+      val idx = row.fieldIndex(s"__a_$i")
+      op match {
+        case UnaryOp.DiscretizeQ(b) =>
+          k -> (if (row.isNullAt(idx)) IndexedSeq.fill(b - 1)(Double.NaN)
+                else row.getSeq[Double](idx).toIndexedSeq)
+        case _ =>
+          k -> IndexedSeq[Double](if (row.isNullAt(idx)) Double.NaN else row.getDouble(idx))
+      }
+    }.toMap
   }
 
   /** Deterministic batched mode fit: explode (nid, v) -> per-value counts ->

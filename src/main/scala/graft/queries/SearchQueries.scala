@@ -82,7 +82,11 @@ object SearchQueries {
         groupKeys = Seq("conv_id"),
         label = col("label_next_tool"),
         k = 8,
-        ExploreKit.EkConfig(maxCandidates = 128))
+        // batchSize = maxCandidates: ONE materialized batch (snapshot +
+        // profile + score) instead of two — batch splitting never affects
+        // per-candidate stats (per-feature lo/hi, counts, fingerprints are
+        // all computed per column) or the generation-order dedup
+        ExploreKit.EkConfig(maxCandidates = 128, batchSize = 128))
       val named = top.map(t => s"ek_${graft.exprs.Lower.alias(t.expr)}" -> t.expr).sortBy(_._1)
       ekOracle = Some(new SqlGen().render(
         baseCte, "base",

@@ -209,10 +209,19 @@ final class Cdfc(
       val named = es.zipWithIndex.map { case (e, i) => s"__lr_c$i" -> e }
       val matAll = LayerBuilder.select(dfLr, dfLr.columns.toSeq, named, fit).cache()
       try {
-        matAll.count() // materialize once, before the concurrent fits race
+        val rows = matAll.count() // materialize once, before the concurrent fits race
+        // a gate-sized matrix makes every lbfgs fit JOB-LATENCY-bound
+        // (~dozens of sequential treeAggregate jobs per fit), so per-job
+        // task count is the lever: read the cached matrix through a
+        // coalesce sized ~50k rows/partition — derived from the data, never
+        // raised above the matrix's own width, so a big matrix keeps its
+        // parallelism (no recompute: coalesce merges cached partitions)
+        val parts = matAll.rdd.getNumPartitions
+        val k = math.max(1L, math.min(parts.toLong, rows / 50000L + 1L)).toInt
+        val matUse = if (k < parts) matAll.coalesce(k) else matAll
         // concurrent fits (FitPool); insert in task order -> deterministic
         FitPool.map(df.sparkSession, "cdfc-lr", named) { case (n, e) =>
-          val mat = matAll.select(dfLr.columns.map(col) :+ col(n).as("__lr_feat"): _*)
+          val mat = matUse.select(dfLr.columns.map(col) :+ col(n).as("__lr_feat"): _*)
           val auc = LrScorer.score(mat, Seq("__lr_feat"), "__cdfc_label",
             cfg.lrFolds, cfg.lrGrid).auc
           // stored ROUNDED (1e-9): every downstream comparison (epsilon

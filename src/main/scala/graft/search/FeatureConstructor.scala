@@ -44,7 +44,17 @@ object FeatureConstructor {
       .map(_.split(",")(0))
       .getOrElse(System.getProperty("java.io.tmpdir"))
     val dir = s"$root/graft_base_${java.util.UUID.randomUUID}"
-    df.write.mode("overwrite").parquet(dir)
+    // Write at the session's parallelism (guide §2: derive partitioning
+    // from the environment, §6: file layout determines every reader's
+    // parallelism). Without this, AQE coalesces a gate-sized upstream
+    // shuffle to 1-3 post-shuffle partitions, the snapshot lands as 1-3
+    // files, and EVERY downstream job over it (profile/score aggregates,
+    // fold-matrix builds) runs at that width — measured 3-partition search
+    // bases at sf0.1 local[32]. defaultParallelism scales with the cluster,
+    // so the one-pass repartition stays proportionate at any size (and at
+    // real scale callers snapshot via their lake layout instead, as below).
+    df.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(dir)
     // spark.local.dir is tmpfs here — a long-lived driver JVM (the Verify /
     // Bench mains run dozens of snapshot-consuming queries) must not
     // accumulate RAM-backed snapshots, so every snapshot dir is deleted on

@@ -73,34 +73,55 @@ object MIScorer {
       .select(col("fv.fid").as("fid"), col("fv.v").as("v"), col("__y"))
       .withColumn("__bin", binCol)
 
-    val aggs: Seq[Column] =
-      (0 to bins).flatMap { b =>
-        Seq(
-          count(when(col("__bin") === b && col("__y") === 0, 1)).as(s"b${b}_0"),
-          count(when(col("__bin") === b && col("__y") === 1, 1)).as(s"b${b}_1"))
-      } ++ Seq(
-        // order-insensitive value fingerprint; bit_xor cannot overflow
-        // (ANSI mode makes sum(long) throw at scale)
-        call_function("bit_xor", xxhash64(round(v, 6))).as("fp"),
-        approx_count_distinct(v).as("dist"),
-        min(v).as("mn"),
-        max(v).as("mx"),
-        count(when(v.isNull || isnan(v), 1)).as("miss"))
-    val rows = ex.groupBy(col("fid")).agg(aggs.head, aggs.tail: _*).collect()
-    val byFid = rows.map(r => r.getInt(r.fieldIndex("fid")) -> r).toMap
+    // Aggregate by (fid, bin, y) — <= F x (bins+2) x |labels| tiny groups —
+    // instead of a per-fid agg of 2*(bins+1) count(when(...)) expressions:
+    // that wide form evaluated ~22 predicates per EXPLODED row inside the
+    // hash-agg update loop (the measured hot loop of every scoring batch).
+    // Every statistic the wide agg produced is reconstructed EXACTLY from
+    // the compact groups driver-side:
+    //  - bin/label counts: the group counts themselves;
+    //  - fingerprint: bit_xor is associative/commutative, so the per-group
+    //    xors xor-merge to the identical per-fid value;
+    //  - min/max: merged with Spark's NaN-greatest ordering (NaN in any
+    //    group max -> NaN; NaN never wins a min unless all values are NaN);
+    //  - missing: bin == `bins` iff v is null/NaN (finite values always land
+    //    in 0..bins-1), so miss = sum of those groups' counts.
+    // Only approx_count_distinct is not mergeable driver-side (HLL sketches
+    // stay in the engine), so it keeps its own per-fid aggregation job —
+    // same algorithm over the same multiset, partition-order-insensitive.
+    // the two aggregations are independent — submit them CONCURRENTLY
+    // (FitPool) so the reshape never costs sequential job latency on the
+    // many-small-batch callers (traversals, property gates)
+    val results = FitPool.all[Array[org.apache.spark.sql.Row]](df.sparkSession, "miscore")(
+      () => ex.groupBy(col("fid"), col("__bin"), col("__y"))
+        .agg(
+          count(lit(1)).as("n"),
+          call_function("bit_xor", xxhash64(round(v, 6))).as("fp"),
+          min(v).as("mn"),
+          max(v).as("mx"))
+        .collect(),
+      () => ex.groupBy(col("fid"))
+        .agg(approx_count_distinct(v).as("dist")).collect())
+    val grouped = results(0)
+    val distRows = results(1)
+    val distByFid = distRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val byFid = grouped.groupBy(_.getInt(0))
     // a fid missing from the exploded groupBy means zero scored rows (empty
     // fit scope / all-null labels) — the old single-row wide agg returned a
     // row of zero counts; mirror that with a degenerate zero-stats result
-    // instead of crashing on byFid(i)
     val empty = FeatureStats(0.0, 0L, 0L, Double.NaN, Double.NaN, 0L)
 
     feats.zipWithIndex.map { case ((n, _), i) =>
       byFid.get(i) match {
         case None => n -> empty
-        case Some(row) =>
+        case Some(groups) =>
+          // groups: (fid, bin, y, n, fp, mn, mx); bin/y never null here
+          // (bin has the explicit null/NaN branch, y was filtered non-null)
           val counts = (0 to bins).map { b =>
-            (row.getLong(row.fieldIndex(s"b${b}_0")),
-              row.getLong(row.fieldIndex(s"b${b}_1")))
+            def cnt(yv: Int): Long = groups.iterator
+              .filter(g => g.getInt(1) == b && g.getInt(2) == yv)
+              .map(_.getLong(3)).sum
+            (cnt(0), cnt(1))
           }
           val total = counts.map(t => t._1 + t._2).sum.toDouble
           val py1 = counts.map(_._2).sum / total
@@ -112,16 +133,25 @@ object MIScorer {
             if (c1 > 0) { val p = c1 / total; mi += p * math.log(p / (pb * py1)) }
           }
           val hy = -Seq(py0, py1).filter(_ > 0).map(p => p * math.log(p)).sum
-          val fpIdx = row.fieldIndex("fp")
-          val mnIdx = row.fieldIndex("mn")
-          val mxIdx = row.fieldIndex("mx")
+          val fp = groups.iterator.map(g => if (g.isNullAt(4)) 0L else g.getLong(4))
+            .foldLeft(0L)(_ ^ _)
+          val mns = groups.iterator.filterNot(_.isNullAt(5)).map(_.getDouble(5)).toSeq
+          val mxs = groups.iterator.filterNot(_.isNullAt(6)).map(_.getDouble(6)).toSeq
+          val mnFinite = mns.filterNot(_.isNaN)
+          val mn =
+            if (mnFinite.nonEmpty) mnFinite.min
+            else if (mns.nonEmpty) Double.NaN else Double.NaN
+          val mx =
+            if (mxs.isEmpty) Double.NaN
+            else if (mxs.exists(_.isNaN)) Double.NaN else mxs.max
+          val miss = groups.iterator.filter(_.getInt(1) == bins).map(_.getLong(3)).sum
           n -> FeatureStats(
             mi = if (hy > 0) mi / hy else 0.0,
-            fingerprint = if (row.isNullAt(fpIdx)) 0L else row.getLong(fpIdx),
-            distinct = row.getLong(row.fieldIndex("dist")),
-            min = if (row.isNullAt(mnIdx)) Double.NaN else row.getDouble(mnIdx),
-            max = if (row.isNullAt(mxIdx)) Double.NaN else row.getDouble(mxIdx),
-            missing = row.getLong(row.fieldIndex("miss")))
+            fingerprint = fp,
+            distinct = distByFid.getOrElse(i, 0L),
+            min = mn,
+            max = mx,
+            missing = miss)
       }
     }.toMap
   }

@@ -43,8 +43,8 @@ object Sampling {
       m.select(col("__id"), col("__v"), lit(t).as("__tbl"),
         graft.similarity.Ann.lshBucket(col("__v"), nBits, t).as("__bkt"))
     }.reduce(_ unionByName _)
-    val d2 = aggregate(zip_with(col("__v"), col("__nv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
+    // codegen'd kernel, bit-identical to the HOF fold (ArrayKernelsSpec)
+    val d2 = graft.exprs.ArrayKernels.sqDist(col("__v"), col("__nv"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__id")).orderBy(col("__d2"), col("__nid"))
     val neighbors = buckets.as("l")
@@ -106,8 +106,8 @@ object Sampling {
       round += 1
       // broadcast the prototype set as literal arrays: 1-NN label per row
       val scored = protos.map { case (_, pv, py) =>
-        val dd = aggregate(zip_with(col("__v"), typedLit(pv), (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (acc, x) => acc + x)
+        // codegen'd kernel, bit-identical to the HOF fold (ArrayKernelsSpec)
+        val dd = graft.exprs.ArrayKernels.sqDist(col("__v"), typedLit(pv))
         struct(dd.as("d"), lit(py).as("py"))
       }
       val pred = base.withColumn("__pred",

@@ -135,8 +135,8 @@ object Selectors {
       .filter(col("__pid") =!= col("__id"))
       .select(col("__pid"), col("__pv"), col("__py"), col("__id")).distinct()
       .join(e.select(col("__id"), col("__v").as("__nv"), col("__y").as("__ny")), "__id")
-    val d2 = aggregate(zip_with(col("__pv"), col("__nv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
+    // codegen'd kernel, bit-identical to the HOF fold (ArrayKernelsSpec)
+    val d2 = graft.exprs.ArrayKernels.sqDist(col("__pv"), col("__nv"))
     val scoredCand = cand.withColumn("__d2", d2)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__pid"), col("__isHit"))

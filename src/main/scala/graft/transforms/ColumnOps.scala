@@ -202,11 +202,24 @@ object ColumnOps {
     ranked.withColumn(out, bucket.cast("long")).drop("__r")
   }
 
+  /** Exact `percentile` is an ImperativeAggregate whose per-row update
+    * (boxed OpenHashMap insert) dominates whole queries when the scan has
+    * few partitions (a single-row-group parquet file reads as ONE split).
+    * Spreading the pruned value column over the session's parallelism
+    * before the agg parallelizes the update loop; the result is EXACTLY
+    * partition-invariant (count merging + one deterministic sort), so the
+    * values are bit-identical.
+    */
+  private def spread1(df: DataFrame, c: Column): DataFrame = {
+    val spark = df.sparkSession
+    df.select(c.cast("double").as("__p")).repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Winsorize: clamp at the [p, 1-p] exact percentiles (fit = one agg). */
   def winsorizeBounds(df: DataFrame, c: Column, p: Double): (Double, Double) = {
-    val r = df.agg(
-      percentile(c.cast("double"), lit(p)).as("lo"),
-      percentile(c.cast("double"), lit(1 - p)).as("hi")).head()
+    val r = spread1(df, c).agg(
+      percentile(col("__p"), lit(p)).as("lo"),
+      percentile(col("__p"), lit(1 - p)).as("hi")).head()
     (r.getDouble(0), r.getDouble(1))
   }
   def winsorize(c: Column, bounds: (Double, Double)): Column =
@@ -264,10 +277,10 @@ object ColumnOps {
     * across engines, which would flip band-boundary membership).
     */
   def rshParams(df: DataFrame, c: Column): (Long, Double) = {
-    val r = df.agg(
-      percentile(c.cast("double"), lit(0.25)).as("q1"),
-      percentile(c.cast("double"), lit(0.75)).as("q3"),
-      count(c).as("n")).head()
+    val r = spread1(df, c).agg(
+      percentile(col("__p"), lit(0.25)).as("q1"),
+      percentile(col("__p"), lit(0.75)).as("q3"),
+      count(col("__p")).as("n")).head()
     val n = r.getLong(2)
     (n, if (n == 0) 0.0 else 1.2 * (r.getDouble(1) - r.getDouble(0)) / math.pow(n.toDouble, 0.2))
   }
