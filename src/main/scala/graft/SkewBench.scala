@@ -60,13 +60,14 @@ object SkewBench {
     * comparable bit-for-bit.
     */
   def groupbyJob(spark: SparkSession, nTurns: Long, hotPct: Int,
-      saltedPath: Boolean): DataFrame = {
+      saltedPath: Boolean, broadcastJoin: Boolean = true): DataFrame = {
     import graft.exprs.PortableRound.col6
     import graft.windows.{WindowFeatures => WF}
     val t = spark.read.parquet(inputPath(nTurns, hotPct))
       .withColumn("v", pmod(xxhash64(col("turn_idx") + 5), lit(1000L)).cast("double"))
     val out =
-      if (saltedPath) WF.groupByThenSalted(t, "conv_id", col("v"), "g", salts = 64)
+      if (saltedPath) WF.groupByThenSalted(t, "conv_id", col("v"), "g", salts = 64,
+        broadcastJoin = broadcastJoin)
       else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
         val n = count(col("v")).over(w).cast("double")
@@ -109,9 +110,27 @@ object SkewBench {
     val spark = ScalingBench.session(cores)
     try {
       materialize(spark, nTurns, hotPct)
-      def job(safePath: Boolean): DataFrame =
-        if (mode == "groupby") groupbyJob(spark, nTurns, hotPct, safePath)
-        else asofJob(spark, nTurns, hotPct, safePath)
+      // "groupbyns": the NON-broadcast salted fallback (r5-verdict item 6) —
+      // baseline is the broadcast join-back, the measured path the shuffle
+      // join-back on a cloned session with broadcast disabled and AQE skew
+      // thresholds sized to this input so the skew-split engages
+      lazy val ssNs = {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+        s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        s2
+      }
+      def job(safePath: Boolean): DataFrame = mode match {
+        case "groupby"   => groupbyJob(spark, nTurns, hotPct, safePath)
+        case "groupbyns" =>
+          if (safePath) groupbyJob(ssNs, nTurns, hotPct, saltedPath = true, broadcastJoin = false)
+          else groupbyJob(spark, nTurns, hotPct, saltedPath = true)
+        case _           => asofJob(spark, nTurns, hotPct, safePath)
+      }
       def measure(safePath: Boolean): (Long, Double) = {
         Bench.force(job(safePath)) // warmup
         var chk = 0L
@@ -125,9 +144,11 @@ object SkewBench {
       }
       val (chkPlain, secPlain) = measure(safePath = false)
       val (chkSkew, secSkew) = measure(safePath = true)
-      val (baseKey, safeKey) =
-        if (mode == "groupby") ("sec_window", "sec_salted")
-        else ("sec_union_window", "sec_skew_bucketed")
+      val (baseKey, safeKey) = mode match {
+        case "groupby"   => ("sec_window", "sec_salted")
+        case "groupbyns" => ("sec_salted_broadcast", "sec_salted_shuffle")
+        case _           => ("sec_union_window", "sec_skew_bucketed")
+      }
       val json =
         s"""{"mode":"$mode","n_turns":$nTurns,"hot_pct":$hotPct,"cores":$cores,
            |"$baseKey":$secPlain,"$safeKey":$secSkew,

@@ -224,9 +224,13 @@ object Dedup {
     * vertex id of its component; vertices absent from `pairs` are
     * singletons labelled by themselves.
     */
+  /** @param onRound observability hook for stress harnesses: called once
+    *                 per completed round with (round, edge count) — default
+    *                 no-op, never changes behavior
+    */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
       id: String = "doc_id", a: String = "a", b: String = "b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     def und(e: DataFrame): DataFrame =
       e.select(col("src").as("u"), col("dst").as("v"))
         .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
@@ -278,6 +282,7 @@ object Dedup {
       converged = cur == prev && sameEdges(edges, prevEdges)
       prev = cur
       it += 1
+      onRound(it, cur._1)
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     // converged state is a star forest: every non-root points at its root

@@ -73,12 +73,20 @@ object LegacyQueries {
       def wssse(k: Int): Double =
         graft.transforms.MlOps.kmeansFeatures(ev, Seq("value"), k)
           .agg(sum(pow(col("cluster_dist"), 2))).head().getDouble(0)
-      val kmeansOk = wssse(8) < wssse(2) // more cells => strictly less variance
-      val wv = graft.transforms.MlOps.avgWord2Vec(Tables.documents(s, dir), "text")
-      val arr = org.apache.spark.ml.functions.vector_to_array(col("doc_vec"))
-      val bad = wv.filter(size(arr) =!= 16 ||
-        exists(arr, x => isnan(x) || x === Double.PositiveInfinity)).count()
-      val total = wv.count()
+      // the two seeded KMeans fits and the Word2Vec chain are independent
+      // deterministic probes -> concurrent (FitPool), identical values
+      val probes = graft.search.FitPool.all[Any](s, "mlprops")(
+        () => wssse(8),
+        () => wssse(2),
+        () => {
+          val wv = graft.transforms.MlOps.avgWord2Vec(Tables.documents(s, dir), "text")
+          val arr = org.apache.spark.ml.functions.vector_to_array(col("doc_vec"))
+          val bad = wv.filter(size(arr) =!= 16 ||
+            exists(arr, x => isnan(x) || x === Double.PositiveInfinity)).count()
+          (bad, wv.count())
+        })
+      val kmeansOk = probes(0).asInstanceOf[Double] < probes(1).asInstanceOf[Double]
+      val (bad, total) = probes(2).asInstanceOf[(Long, Long)]
       Seq((if (kmeansOk) 1L else 0L,
         if (bad == 0 && total > 0) 1L else 0L)).toDF("kmeans_wssse_ok", "w2v_ok")
     }),

@@ -64,4 +64,43 @@ class GroupByAutoSpec extends SparkSpec {
     val empty = balanced.filter(lit(false))
     assert(WindowFeatures.groupByThenAuto(empty, "conv_id", len, "g").count() == 0L)
   }
+
+  // r5-verdict item 6: the one router branch with no plan assertion — the
+  // non-broadcast fallback (key dimension too big to broadcast). The
+  // join-back must be a SHUFFLE join, and AQE's skew-join handling must
+  // actually engage on it (thresholds lowered to gate scale in a cloned
+  // session; the parent test session's conf is untouched) — unlike the
+  // window route, whose single hot-key partition nothing can split.
+  test("non-broadcast salted fallback: shuffle join-back, AQE skew-split engages, values identical") {
+    val dir = java.nio.file.Files.createTempDirectory("gba_skewns").toString
+    Transcripts.synthetic(spark, 4000, 200).withColumn("conv_id",
+      when(pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(5L)) < 4, lit("hot"))
+        .otherwise(col("conv_id")))
+      .write.mode("overwrite").parquet(dir)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    val t = ss.read.parquet(dir)
+    val out = WindowFeatures.groupByThenSalted(t, "conv_id", len, "g",
+      salts = 8, broadcastJoin = false)
+    val rows = out.select(col("conv_id"), col("turn_idx"), col("g_mean"), col("g_std"),
+        col("g_min"), col("g_max"), col("g_cnt"), col("g_sum"))
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val p = out.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastHashJoin"), s"fallback must not broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffle join-back:\n$p")
+    assert(p.toLowerCase.contains("skew"), s"expected AQE skew-split markers:\n$p")
+    // value parity with the broadcast route on the same input
+    val bRows = WindowFeatures.groupByThenSalted(spark.read.parquet(dir), "conv_id",
+        len, "g", salts = 8, broadcastJoin = true)
+      .select(col("conv_id"), col("turn_idx"), col("g_mean"), col("g_std"),
+        col("g_min"), col("g_max"), col("g_cnt"), col("g_sum"))
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(rows == bRows)
+  }
 }
