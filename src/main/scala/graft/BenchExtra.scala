@@ -41,6 +41,18 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query job/task counters (read between queries; Spark fires listener
+    // events asynchronously, so drain with a listener-bus flush via jobEnd
+    // counts — good enough for attribution at rep granularity)
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskCount.incrementAndGet()
+    })
+
     val jobTimes = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     if (jobs) spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
@@ -72,6 +84,7 @@ object BenchExtra {
         java.nio.file.Files.createDirectories(p)
         java.nio.file.Files.writeString(p.resolve(s"$name.txt"), plan)
       }
+      val (j0, t0c) = (jobCount.get(), taskCount.get())
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try Bench.force(fn(spark, sfDir)) catch { case e: Throwable =>
@@ -80,7 +93,8 @@ object BenchExtra {
         (System.nanoTime() - t0) / 1e9
       }
       spark.sparkContext.setJobDescription(null)
-      println(f"[benchextra] $name%-28s min=${times.min}%7.3f reps=${times.map(t => f"$t%.3f").mkString(",")}")
+      val (jn, tn) = ((jobCount.get() - j0) / reps, (taskCount.get() - t0c) / reps)
+      println(f"[benchextra] $name%-28s min=${times.min}%7.3f jobs/rep=$jn%4d tasks/rep=$tn%5d reps=${times.map(t => f"$t%.3f").mkString(",")}")
     }
 
     if (jobs) {

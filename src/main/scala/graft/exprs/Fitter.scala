@@ -58,19 +58,27 @@ object Fitter {
       // breaks ties nondeterministically; max_by over (count, -value) picks
       // the SMALLEST most-frequent value — reproducible in any engine)
       val (modeReady, ready) = rest.partition(_._2.op == UnaryOp.ImputeMode)
+      // The per-pass batch jobs below (MDLP histogram, mode, percentile,
+      // plain wide agg) are INDEPENDENT aggregations over fitDf: collect
+      // them as thunks and submit concurrently (FitPool) so a pass pays the
+      // slowest job's latency, not the sum. Each job's plan/partitioning is
+      // byte-identical to the sequential form — only submission overlaps —
+      // and results merge under distinct keys, so every fitted value is
+      // unchanged.
+      val batchJobs = Seq.newBuilder[() => FitStats]
       if (mdlpReady.nonEmpty) {
         val y = label.getOrElse(throw new IllegalArgumentException(
           s"MDLP fit requires a label column (nodes: ${mdlpReady.keys})"))
         val nodes = mdlpReady.toSeq.map { case (key, u) =>
           key -> Lower.toColumn(u.child, stats, raw).cast("double")
         }
-        stats = stats ++ FitStats(graft.search.Mdlp.fitCutsBatch(fitDf, nodes, y))
+        batchJobs += (() => FitStats(graft.search.Mdlp.fitCutsBatch(fitDf, nodes, y)))
       }
       if (modeReady.nonEmpty) {
         val nodes = modeReady.toSeq.map { case (key, u) =>
           key -> Lower.toColumn(u.child, stats, raw).cast("double")
         }
-        stats = stats ++ FitStats(modeBatch(fitDf, nodes))
+        batchJobs += (() => FitStats(modeBatch(fitDf, nodes)))
       }
       // exact percentile/median fits (DiscretizeQ, ImputeMedian) are
       // ImperativeAggregates whose per-row update loop dominates on
@@ -87,13 +95,10 @@ object Fitter {
         val nodes = pctlReady.toSeq.map { case (key, u) =>
           key -> Lower.toColumn(u.child, stats, raw).cast("double")
         }
-        stats = stats ++ FitStats(percentileBatch(fitDf, nodes.map { case (k, c) =>
-          (k, c, pending(k).op) }))
+        val specs = nodes.map { case (k, c) => (k, c, pending(k).op) }
+        batchJobs += (() => FitStats(percentileBatch(fitDf, specs)))
       }
-      if (plainReady.isEmpty) {
-        pending = pending -- readyAll.keys
-      }
-      else {
+      if (plainReady.nonEmpty) {
       val ready2 = plainReady
       val aggsAndDecode: Seq[(String, Seq[Column], org.apache.spark.sql.Row => IndexedSeq[Double])] =
         ready2.toSeq.map { case (key, u) =>
@@ -128,11 +133,15 @@ object Fitter {
               throw new IllegalStateException(s"unexpected fit op $other")
           }
         }
-      val row = fitDf.agg(
-        aggsAndDecode.flatMap(_._2).head, aggsAndDecode.flatMap(_._2).tail: _*).head()
-      stats = stats ++ FitStats(aggsAndDecode.map { case (k, _, dec) => k -> dec(row) }.toMap)
-      pending = pending -- ready.keys -- mdlpReady.keys -- modeReady.keys
+      batchJobs += (() => {
+        val row = fitDf.agg(
+          aggsAndDecode.flatMap(_._2).head, aggsAndDecode.flatMap(_._2).tail: _*).head()
+        FitStats(aggsAndDecode.map { case (k, _, dec) => k -> dec(row) }.toMap)
+      })
       }
+      graft.search.FitPool.all(fitDf.sparkSession, "fitter")(batchJobs.result(): _*)
+        .foreach { s => stats = stats ++ s }
+      pending = pending -- readyAll.keys
     }
     require(pending.isEmpty, s"unfitted nodes after ${guard} passes: ${pending.keys}")
     stats

@@ -33,10 +33,18 @@ object LegacyQueries {
       // rank attaches via the per-VALUE table (unique per value — the row
       // key is not unique in the fixture, so a key join would fan out)
       val li = Tables.lineitem(s, dir)
-      val dec = ColumnOps.quantileBucket(li, 10,
-        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
-        "price_decile")
-      val ranks = ColumnOps.valueRanks(li, col("l_extendedprice"))
+      // both rank ops bucket on l_extendedprice -> ONE shared bounds agg
+      // (bucket ids only steer parallelism; ranks are bucket-invariant)
+      val bounds = Some(ColumnOps.rangeBounds(li, col("l_extendedprice")))
+      // with the bounds shared, each op's remaining eager step (its totals
+      // collect) is independent -> concurrent (FitPool)
+      val ops = graft.search.FitPool.all[org.apache.spark.sql.DataFrame](s, "rankfit")(
+        () => ColumnOps.quantileBucket(li, 10,
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          "price_decile", bounds = bounds),
+        () => ColumnOps.valueRanks(li, col("l_extendedprice"), bounds = bounds))
+      val dec = ops(0)
+      val ranks = ops(1)
         .select(col("__v"),
           col6(col("__cum") + (col("__cnt") + 1) / lit(2.0)).as("price_rank"))
       dec.join(ranks, col("l_extendedprice").cast("double") <=> col("__v"), "left")
@@ -45,13 +53,21 @@ object LegacyQueries {
 
     "q_numeric_residue" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val (n, h) = ColumnOps.rshParams(ev, col("value"))
+      // the rsh bandwidth fit and the shared rank-table fit are independent
+      // -> concurrent (FitPool); each job's plan is unchanged
+      val fits = graft.search.FitPool.all[Any](s, "residuefit")(
+        () => ColumnOps.rshParams(ev, col("value")),
+        () => ColumnOps.valueRankTable(ev, col("value")))
+      val (n, h) = fits(0).asInstanceOf[(Long, Double)]
       residueParams = Some((n, h)) // oracle SQL embeds the same n/h literals
       // each op runs from the RAW table (chaining re-executes the previous
-      // op's join inside the next op's internal jobs); outputs join on key
-      val pp = ColumnOps.plottingPositions(ev, col("value"), "__pp")
+      // op's join inside the next op's internal jobs); outputs join on key.
+      // pp and tt rank the SAME column -> ONE shared value-rank table (one
+      // bounds agg + one totals collect; n comes with it, no count jobs)
+      val vrt = fits(1).asInstanceOf[ColumnOps.ValueRankTable]
+      val pp = ColumnOps.plottingPositionsOn(ev, col("value"), vrt, "__pp")
         .select(col("event_id"), col6(col("__pp")).as("pp"))
-      val tt = ColumnOps.trimtail(ev, col("value"), "__tt", p = 0.2)
+      val tt = ColumnOps.trimtailOn(ev, col("value"), vrt, "__tt", p = 0.2)
         .select(col("event_id"), col6(col("__tt")).as("trimmed"))
       // rsh band join over probe subset only — band density grows with sf
       val rs = ColumnOps.rshWith(ev, col("value"), Seq("event_id"), "__rsh",
@@ -121,8 +137,13 @@ object LegacyQueries {
 
     "q_winsorize" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val b = ColumnOps.winsorizeBounds(li, col("l_extendedprice"), 0.05)
-      val mean = li.agg(avg(col("l_quantity"))).head().getDouble(0)
+      // the two fits (exact-percentile bounds, mean) are independent
+      // aggregates -> concurrent (FitPool); each job's plan is unchanged
+      val fits = graft.search.FitPool.all[Any](s, "winsfit")(
+        () => ColumnOps.winsorizeBounds(li, col("l_extendedprice"), 0.05),
+        () => li.agg(avg(col("l_quantity"))).head().getDouble(0))
+      val b = fits(0).asInstanceOf[(Double, Double)]
+      val mean = fits(1).asInstanceOf[Double]
       li.select(
         col("l_orderkey"), col("l_linenumber"),
         col6(ColumnOps.winsorize(col("l_extendedprice"), b)).as("price_w"),

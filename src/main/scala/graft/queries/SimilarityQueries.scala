@@ -80,14 +80,28 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, dir)
       val brute = Ann.cosineTopK(e.filter(col("vec_id") < 50), e, k = 5)
         .select(col("qid"), col("nid"))
-      val (partial0, centers) = Ann.ivfTopKModel(e, k = 5, nlist = 16, nprobe = 4)
-      val partial = partial0.filter(col("qid") < 50).select(col("qid"), col("nid"))
-      val full = Ann.ivfTopKModel(e, k = 5, nlist = 16, nprobe = 16,
-          reuseCenters = Some(centers))._1
+      // assign ONCE at maxProbe = nlist and rank both regimes from the same
+      // snapshot (the 4-probe list is the 16-probe prefix — same values as
+      // two separate assignments, one snapshot write instead of two)
+      val (assigned, _) = Ann.ivfAssignModel(e, nlist = 16, maxProbe = 16)
+      val partial = Ann.ivfTopKOnAssigned(assigned, k = 5, nprobe = 4, maxProbe = 16)
         .filter(col("qid") < 50).select(col("qid"), col("nid"))
-      val total = brute.count().toDouble
-      val hitPartial = brute.intersect(partial).count().toDouble
-      val hitFull = brute.intersect(full).count().toDouble
+      val full = Ann.ivfTopKOnAssigned(assigned, k = 5, nprobe = 16, maxProbe = 16)
+        .filter(col("qid") < 50).select(col("qid"), col("nid"))
+      // ONE action instead of three sequential counts (each of which
+      // replayed the brute-force top-k): all three (qid, nid) sets are
+      // duplicate-free by construction (row_number rank per pair), so
+      // `brute INTERSECT x` counts equal left-join indicator sums — the
+      // same exact integers the three-count form produced.
+      val row = brute
+        .join(partial.withColumn("__p", lit(1)), Seq("qid", "nid"), "left")
+        .join(full.withColumn("__f", lit(1)), Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("t"),
+          coalesce(sum(col("__p")), lit(0L)).as("hp"),
+          coalesce(sum(col("__f")), lit(0L)).as("hf")).head()
+      val total = row.getLong(0).toDouble
+      val hitPartial = row.getLong(1).toDouble
+      val hitFull = row.getLong(2).toDouble
       import s.implicits._
       Seq((if (hitFull == total) 1L else 0L,
         if (hitPartial / total >= 0.4) 1L else 0L))

@@ -169,6 +169,22 @@ object Ann {
   def ivfTopKModel(embeddings: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
       id: String = "vec_id", vec: String = "embedding",
       reuseCenters: Option[Array[Array[Double]]] = None): (DataFrame, Array[Array[Double]]) = {
+    val (assigned, centers) =
+      ivfAssignModel(embeddings, nlist, nprobe, id, vec, reuseCenters)
+    (ivfTopKOnAssigned(assigned, k, nprobe, nprobe, id, vec), centers)
+  }
+
+  /** Train (or reuse) the coarse quantizer and materialize the cell
+    * assignment ONCE with each row's `maxProbe` nearest probe cells. A
+    * caller that ranks at several nprobe values (e.g. a recall study)
+    * assigns at the largest and slices per rank — one snapshot instead of
+    * one per nprobe; `slice(sorted, 1, p)` of the maxProbe prefix is
+    * exactly the p-probe assignment, so every ranked value is identical.
+    */
+  def ivfAssignModel(embeddings: DataFrame, nlist: Int = 16, maxProbe: Int = 4,
+      id: String = "vec_id", vec: String = "embedding",
+      reuseCenters: Option[Array[Array[Double]]] = None): (DataFrame, Array[Array[Double]]) = {
+    val nprobe = maxProbe
     val e = withNorm(embeddings, id, vec)
     val centers = reuseCenters.getOrElse {
       // Train the coarse quantizer on a deterministic id-hash SAMPLE, not
@@ -214,12 +230,25 @@ object Ann {
       .withColumn("cell", col("__sorted").getItem(0).getField("cell"))
       .withColumn("__probe_cells", slice(col("__sorted"), 1, nprobe).getField("cell"))
       .select(col(id), col(vec), col("nrm"), col("cell"), col("__probe_cells")))
+    (assigned, centers)
+  }
+
+  /** Probe-and-rank over a materialized [[ivfAssignModel]] assignment.
+    * `nprobe` may be <= the assignment's `maxProbe` (a prefix slice of the
+    * stored probe cells — identical to assigning at that nprobe directly).
+    */
+  def ivfTopKOnAssigned(assigned: DataFrame, k: Int, nprobe: Int, maxProbe: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(nprobe <= maxProbe, s"nprobe $nprobe > assignment maxProbe $maxProbe")
+    val probeCells =
+      if (nprobe == maxProbe) col("__probe_cells")
+      else slice(col("__probe_cells"), 1, nprobe)
     val probes = assigned
       .select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"),
-        explode(col("__probe_cells")).as("cell"))
+        explode(probeCells).as("cell"))
     val corpus = assigned.select(col(id).as("nid"), col(vec).as("cv"),
       col("nrm").as("cn"), col("cell"))
-    val out = probes.join(corpus, Seq("cell"))
+    probes.join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(
@@ -227,7 +256,6 @@ object Ann {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk").cast("long").as("rnk"),
         col6(col("cos")).as("cos"))
-    (out, centers)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),

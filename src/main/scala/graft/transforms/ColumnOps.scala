@@ -107,20 +107,30 @@ object ColumnOps {
     * actions over the same frame can disagree on partition bounds).
     * Rows with equal `c` always share a bucket; nulls land in bucket 0.
     */
-  private def rangeBucket(df: DataFrame, c: Column, parts: Int): Column = {
+  private def rangeBucket(df: DataFrame, c: Column, parts: Int): Column =
+    bucketExpr(c, rangeBounds(df, c, parts))
+
+  /** The driver-side half of [[rangeBucket]]: approx-quantile bucket BOUNDS
+    * for `c` (distinct, ascending). Exposed so two rank ops over the SAME
+    * column share one bounds aggregate instead of each running its own —
+    * the bucket id only steers parallelism; every rank/offset downstream is
+    * bucket-invariant, so shared bounds are bit-identical by construction.
+    */
+  def rangeBounds(df: DataFrame, c: Column, parts: Int = 32): Seq[Double] = {
     val probs = (1 until parts).map(_.toDouble / parts)
     // NOT spread like [[spread1]]: measured — the approx sketch's per-row
     // update is cheap enough that a repartition costs more than it saves
     // (q_rank_quantile 3.35 -> 4.27 s with a spread here; reverted)
     val row = df.agg(percentile_approx(c.cast("double"), typedLit(probs), lit(10000))
       .as("__b")).head()
-    val bounds =
-      if (row.isNullAt(0)) Seq.empty[Double]
-      else row.getSeq[Double](0).distinct
+    if (row.isNullAt(0)) Seq.empty[Double]
+    else row.getSeq[Double](0).distinct
+  }
+
+  private def bucketExpr(c: Column, bounds: Seq[Double]): Column =
     bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(c.cast("double") > lit(b), 1).otherwise(0)
     }
-  }
 
   /** Per-distinct-value rank table `(__v, __cnt, __cum)` where `__cum` is
     * the number of rows strictly below the value. The global cumulative sum
@@ -129,8 +139,20 @@ object ColumnOps {
     * and per-bucket offsets (`parts` scalars) are added back.
     * Nulls are excluded (null rank = null downstream).
     */
-  def valueRanks(df: DataFrame, c: Column, parts: Int = 32): DataFrame = {
-    val bucket = rangeBucket(df, c, parts)
+  def valueRanks(df: DataFrame, c: Column, parts: Int = 32,
+      bounds: Option[Seq[Double]] = None): DataFrame =
+    valueRankTable(df, c, parts, bounds).ranks
+
+  /** [[valueRanks]] plus the non-null row count `n` — `n` is the sum of the
+    * per-bucket totals the op ALREADY collects for its prefix offsets, so a
+    * caller that needs both (plotting positions, trimtail) pays no separate
+    * count job, and two ops over the same column can share one table.
+    */
+  final case class ValueRankTable(ranks: DataFrame, n: Long)
+
+  def valueRankTable(df: DataFrame, c: Column, parts: Int = 32,
+      bounds: Option[Seq[Double]] = None): ValueRankTable = {
+    val bucket = bucketExpr(c, bounds.getOrElse(rangeBounds(df, c, parts)))
     val vals = df.select(c.cast("double").as("__v"), bucket.as("__pid"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__v"), col("__pid")).agg(count(lit(1)).as("__cnt"))
@@ -140,11 +162,12 @@ object ColumnOps {
     val pids = totals.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
     val w = Window.partitionBy(col("__pid")).orderBy(col("__v"))
-    vals
+    val ranks = vals
       .withColumn("__cum",
         sum(col("__cnt")).over(w) - col("__cnt") +
           coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
       .select(col("__v"), col("__cnt"), col("__cum"))
+    ValueRankTable(ranks, totals.values.sum)
   }
 
   /** scipy rankdata(method='average') as a whole-table op: min-rank +
@@ -172,32 +195,44 @@ object ColumnOps {
   }
 
   def ordinalRank(df: DataFrame, orderCols: Seq[Column], out: String,
-      parts: Int = 32, bucketBy: Option[Column] = None): DataFrame = {
+      parts: Int = 32, bucketBy: Option[Column] = None,
+      bounds: Option[Seq[Double]] = None): DataFrame =
+    ordinalRankN(df, orderCols, out, parts, bucketBy, bounds)._1
+
+  /** [[ordinalRank]] plus the TOTAL row count (the per-bucket totals' sum —
+    * no separate count job for callers like [[quantileBucket]]).
+    */
+  private def ordinalRankN(df: DataFrame, orderCols: Seq[Column], out: String,
+      parts: Int, bucketBy: Option[Column],
+      bounds: Option[Seq[Double]]): (DataFrame, Long) = {
     // deterministic buckets on the FIRST order column (ties stay together;
     // remaining order columns only break ties inside a bucket). For string
     // orders pass bucketBy = stringProxy(col) — the bucket function must be
     // numeric and monotone in the window order.
     val bucketCol = bucketBy.getOrElse(orderCols.head)
-    val ranged = df.withColumn("__pid", rangeBucket(df, bucketCol, parts))
+    val ranged = df.withColumn("__pid",
+      bucketExpr(bucketCol, bounds.getOrElse(rangeBounds(df, bucketCol, parts))))
     val totals = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    ranged
+    val ranked = ranged
       .withColumn(out,
         row_number().over(w).cast("long") +
           coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
       .drop("__pid")
+    (ranked, totals.values.sum)
   }
 
   /** NTILE(n) over a total order, from the scale-safe ordinal rank (exact
     * SQL NTILE semantics: the first N mod n buckets get one extra row).
     */
   def quantileBucket(df: DataFrame, n: Int, orderCols: Seq[Column],
-      out: String): DataFrame = {
-    val ranked = ordinalRank(df, orderCols, "__r")
-    val total = df.count()
+      out: String, bounds: Option[Seq[Double]] = None): DataFrame = {
+    // total == sum of the rank op's per-bucket totals (every row gets a
+    // bucket) — the standalone df.count() job it replaces returned the same
+    val (ranked, total) = ordinalRankN(df, orderCols, "__r", 32, None, bounds)
     val q = total / n; val m = total % n
     val bucket = when(col("__r") <= lit(m * (q + 1)),
         (col("__r") - 1) / lit(q + 1) + 1)
@@ -240,9 +275,16 @@ object ColumnOps {
     * deterministic refinement). Built on [[valueRanks]] — no global window.
     */
   def plottingPositions(df: DataFrame, c: Column, out: String,
-      alpha: Double = 0.4, beta: Double = 0.4): DataFrame = {
-    val n = df.filter(c.isNotNull).count()
-    val ranks = valueRanks(df, c).select(col("__v"),
+      alpha: Double = 0.4, beta: Double = 0.4): DataFrame =
+    plottingPositionsOn(df, c, valueRankTable(df, c), out, alpha, beta)
+
+  /** [[plottingPositions]] over a shared [[ValueRankTable]] (vrt.n == the
+    * non-null count the standalone path used — same totals, same floats).
+    */
+  def plottingPositionsOn(df: DataFrame, c: Column, vrt: ValueRankTable,
+      out: String, alpha: Double = 0.4, beta: Double = 0.4): DataFrame = {
+    val n = vrt.n
+    val ranks = vrt.ranks.select(col("__v"),
       ((col("__cum") + (col("__cnt") + 1) / lit(2.0)) - lit(alpha))
         ./(lit(n + 1 - alpha - beta)).as(out))
     df.join(ranks, c.cast("double") <=> col("__v"), "left").drop("__v")
@@ -253,10 +295,14 @@ object ColumnOps {
     * sorted positions, splitting ties arbitrarily; whole-group survival is
     * the deterministic refinement). Built on [[valueRanks]].
     */
-  def trimtail(df: DataFrame, c: Column, out: String, p: Double = 0.2): DataFrame = {
-    val n = df.filter(c.isNotNull).count()
-    val cut = math.floor(p * n).toLong
-    val ranks = valueRanks(df, c).select(col("__v"),
+  def trimtail(df: DataFrame, c: Column, out: String, p: Double = 0.2): DataFrame =
+    trimtailOn(df, c, valueRankTable(df, c), out, p)
+
+  /** [[trimtail]] over a shared [[ValueRankTable]] (same n, same cut). */
+  def trimtailOn(df: DataFrame, c: Column, vrt: ValueRankTable,
+      out: String, p: Double = 0.2): DataFrame = {
+    val cut = math.floor(p * vrt.n).toLong
+    val ranks = vrt.ranks.select(col("__v"),
       (col("__cum") + col("__cnt")).as("__cumEnd"))
     df.join(ranks, c.cast("double") <=> col("__v"), "left")
       .withColumn(out, when(col("__cumEnd") > cut, c.cast("double")))

@@ -30,6 +30,20 @@ class AnnSpec extends SparkSpec {
     assert(planted.forall(_._3 >= 0.999999))
   }
 
+  test("ivf shared assignment: nprobe slice of a maxProbe assignment equals a direct fit") {
+    // the optimization contract: assigning ONCE at maxProbe and ranking at a
+    // smaller nprobe (prefix slice of the stored probe cells) must equal
+    // assigning at that nprobe directly with the same centers
+    val e = Tables.embeddings(spark, sf0001)
+    val (assigned, centers) = Ann.ivfAssignModel(e, nlist = 8, maxProbe = 8)
+    val sliced = Ann.ivfTopKOnAssigned(assigned, k = 5, nprobe = 2, maxProbe = 8)
+      .collect().map(_.toSeq).toSet
+    val direct = Ann.ivfTopKModel(e, k = 5, nlist = 8, nprobe = 2,
+        reuseCenters = Some(centers))._1
+      .collect().map(_.toSeq).toSet
+    assert(sliced == direct)
+  }
+
   test("ivfTopK: probing more cells recovers more of the brute-force top-5") {
     val e = Tables.embeddings(spark, sf0001)
     val brute = Ann.cosineTopK(e, e, k = 5)

@@ -49,6 +49,27 @@ class ColumnOpsSpec extends SparkSpec {
     }
   }
 
+  test("shared range bounds / rank table: identical results to standalone ops") {
+    // the optimization contract: sharing ONE bounds agg / ONE value-rank
+    // table across rank ops must be bit-identical to each op fitting alone
+    val vs = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 3.0, 9.0, 1.0, 7.0, 4.0, 6.0, 2.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(4)
+    val bounds = Some(ColumnOps.rangeBounds(df, col("v")))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(ColumnOps.valueRanks(df, col("v"), bounds = bounds)) ==
+      rows(ColumnOps.valueRanks(df, col("v"))))
+    assert(rows(ColumnOps.quantileBucket(df, 3, Seq(col("v"), col("id")), "q", bounds = bounds)) ==
+      rows(ColumnOps.quantileBucket(df, 3, Seq(col("v"), col("id")), "q")))
+    val vrt = ColumnOps.valueRankTable(df, col("v"))
+    assert(vrt.n == vs.length) // totals' sum == non-null count
+    assert(rows(ColumnOps.plottingPositionsOn(df, col("v"), vrt, "pp")) ==
+      rows(ColumnOps.plottingPositions(df, col("v"), "pp")))
+    assert(rows(ColumnOps.trimtailOn(df, col("v"), vrt, "t", 0.2)) ==
+      rows(ColumnOps.trimtail(df, col("v"), "t", 0.2)))
+  }
+
   test("helmert coding: hand matrix for k=3 (levels a<b<c)") {
     val df = Seq("a", "b", "c", "b").toDF("g")
     val rows = ColumnOps.helmertEncode(df, "g", "h")
